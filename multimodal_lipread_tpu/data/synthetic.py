@@ -1,0 +1,130 @@
+"""Synthetic mini-GLips fixture generator.
+
+Creates a tiny, fully-aligned GLips-shaped dataset tree so that every
+pipeline (audio / video / fusion / cues) can be exercised without the real
+dataset — the test-suite equivalent the reference lacks (SURVEY.md §4).
+
+Layout produced (matches the reference's data contract, SURVEY.md §1):
+
+- ``<root>/lipread_files/<word>/<split>/<word>_NNNN-NNNN.wav`` (16 kHz PCM16)
+- ``<root>_lip_regions/lipread_files/<word>/<split>/<word>_NNNN-NNNN.npy``
+  of shape (29, 44, 44, 3) uint8
+- ``<cue_root>/Descriptions_{Emotion,Environment}/lipreading_analysis_results_{mode}_{word}_{split}.json``
+  each a list of ``{"word", "sequence_id", "description"}`` records
+
+Signals are class-conditional (per-class harmonic stacks for audio, per-class
+brightness/texture for video, per-class phrasing for cues) so that models can
+actually fit the fixture — used by the end-to-end training tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import List, Sequence
+
+import numpy as np
+
+from multimodal_lipread_tpu.data.audio_io import SAMPLE_RATE, TARGET_SAMPLES, write_wav
+from multimodal_lipread_tpu.data.glips import SPLITS, lip_regions_root
+
+DEFAULT_WORDS = ("abend", "bereits", "cirka", "dabei")
+
+_EMOTION_TEMPLATES = (
+    "The speaker appears {adj} while articulating, with {feat} lip movement.",
+    "A {adj} expression dominates; the mouth shows {feat} motion.",
+    "Facial cues suggest a {adj} mood and {feat} articulation.",
+)
+_ENV_TEMPLATES = (
+    "The speaker stands before a {adj} backdrop with {feat} lighting.",
+    "An indoor scene with {adj} walls and {feat} illumination.",
+    "The background looks {adj}; lighting is {feat}.",
+)
+_ADJ = ("calm", "tense", "neutral", "animated", "focused", "relaxed", "bright", "plain")
+_FEAT = ("subtle", "pronounced", "rapid", "slow", "rhythmic", "steady", "soft", "sharp")
+
+
+def _synth_waveform(rng: np.random.Generator, class_idx: int, num_classes: int) -> np.ndarray:
+    """Class-separable waveform: harmonic stack at a class-specific pitch."""
+    t = np.arange(TARGET_SAMPLES, dtype=np.float32) / SAMPLE_RATE
+    f0 = 120.0 * (1.5 ** class_idx) + rng.uniform(-5, 5)
+    wave = np.zeros_like(t)
+    for h in range(1, 4):
+        wave += (0.5 ** h) * np.sin(2 * np.pi * f0 * h * t + rng.uniform(0, 2 * np.pi))
+    wave += 0.05 * rng.standard_normal(TARGET_SAMPLES).astype(np.float32)
+    envelope = np.minimum(1.0, 10 * t) * np.minimum(1.0, 10 * (t[-1] - t))
+    return (wave * envelope * 8000.0).astype(np.float32)
+
+
+def _synth_lip_sequence(rng: np.random.Generator, class_idx: int) -> np.ndarray:
+    """(29, 44, 44, 3) uint8 with class-conditional brightness + stripe texture."""
+    base = 40 + 40 * class_idx
+    frames = rng.integers(0, 30, size=(29, 44, 44, 3), dtype=np.int64)
+    yy = np.arange(44)[None, :, None, None]
+    stripes = ((yy // (2 + class_idx)) % 2) * 60
+    seq = np.clip(base + frames + stripes, 0, 255).astype(np.uint8)
+    return seq
+
+
+def _synth_description(rng: np.random.Generator, mode: str, class_idx: int) -> str:
+    tmpl = (_EMOTION_TEMPLATES if mode == "emotion" else _ENV_TEMPLATES)[int(rng.integers(3))]
+    adj = _ADJ[(2 * class_idx + int(rng.integers(2))) % len(_ADJ)]
+    feat = _FEAT[(2 * class_idx + int(rng.integers(2))) % len(_FEAT)]
+    return tmpl.format(adj=adj, feat=feat)
+
+
+def make_synthetic_glips(
+    root: str,
+    words: Sequence[str] = DEFAULT_WORDS,
+    clips_per_split: int = 4,
+    splits: Sequence[str] = SPLITS,
+    seed: int = 0,
+    with_audio: bool = True,
+    with_lip_regions: bool = True,
+    with_cues: bool = True,
+) -> str:
+    """Generate a synthetic GLips tree under ``root``. Returns ``root``."""
+    rng = np.random.default_rng(seed)
+    words = sorted(words)
+    lip_root = lip_regions_root(root)
+
+    cue_records = {
+        (mode, word, split): []
+        for mode in ("emotion", "environment")
+        for word in words
+        for split in splits
+    }
+
+    seq_counter = 0
+    for ci, word in enumerate(words):
+        for split in splits:
+            for _ in range(clips_per_split):
+                sid = f"{seq_counter:04d}-{seq_counter + 1:04d}"
+                seq_counter += 2
+                stem = f"{word}_{sid}"
+                if with_audio:
+                    wav_path = os.path.join(root, "lipread_files", word, split, stem + ".wav")
+                    write_wav(wav_path, _synth_waveform(rng, ci, len(words)))
+                if with_lip_regions:
+                    npy_path = os.path.join(lip_root, "lipread_files", word, split, stem + ".npy")
+                    os.makedirs(os.path.dirname(npy_path), exist_ok=True)
+                    np.save(npy_path, _synth_lip_sequence(rng, ci))
+                if with_cues:
+                    for mode in ("emotion", "environment"):
+                        cue_records[(mode, word, split)].append(
+                            {
+                                "word": word,
+                                "sequence_id": sid,
+                                "description": _synth_description(rng, mode, ci),
+                            }
+                        )
+
+    if with_cues:
+        for (mode, word, split), records in cue_records.items():
+            folder = os.path.join(root, f"Descriptions_{mode.capitalize()}")
+            os.makedirs(folder, exist_ok=True)
+            fname = f"lipreading_analysis_results_{mode}_{word}_{split}.json"
+            with open(os.path.join(folder, fname), "w") as f:
+                json.dump(records, f, indent=2)
+
+    return root
