@@ -1,0 +1,168 @@
+"""Benchmark: end-to-end audio-pipeline training throughput, clips/sec/chip.
+
+The BASELINE metric (BASELINE.json) is GLips preproc+train clips/sec/chip.
+The reference publishes no throughput numbers (BASELINE.md §Throughput), so
+the baseline is measured HERE each run: a reference-equivalent PyTorch
+training loop (same vgg_lstm-class architecture, same batch size, Adam) on
+this host's CPU — the only backend the reference stack can use in this image.
+The reference recomputes log-mel features per sample per epoch in DataLoader
+workers (reference: audio/train.py:59-84 + audio/utils/audio_processor.py:48-64);
+its proxy here is charged only the model step (features free), which is
+GENEROUS to the baseline.
+
+Our number: steady-state data-parallel train step on the flagship vgg_lstm
+model, INCLUDING the fused on-device log-mel frontend (wave → mel → model →
+grads → Adam), batch sharded over all available chips. Value reported is
+per chip.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+BATCH = 32
+STEPS = 30
+WARMUP = 3
+
+
+def bench_jax() -> float:
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from multimodal_lipread_tpu.models.audio import get_audio_model
+    from multimodal_lipread_tpu.ops.logmel import log_mel
+    from multimodal_lipread_tpu.parallel.mesh import batch_sharding, get_mesh, replicate
+
+    n_chips = len(jax.devices())
+    mesh = get_mesh()
+    bsharding = batch_sharding(mesh)
+    batch = ((BATCH * n_chips + n_chips - 1) // n_chips) * n_chips
+
+    model = get_audio_model("vgg_lstm", num_classes=4, version=16)
+    rng = jax.random.PRNGKey(0)
+    waves = np.random.default_rng(0).standard_normal((batch, 20000)).astype(np.float32) * 1000.0
+    labels = np.random.default_rng(1).integers(0, 4, size=batch).astype(np.int32)
+
+    mel0 = log_mel(jnp.asarray(waves[:8]))[:, :80, :117]
+    variables = model.init({"params": rng, "dropout": rng}, mel0, train=False)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    tx = optax.chain(
+        optax.add_decayed_weights(1e-4),
+        optax.scale_by_adam(),
+        optax.scale(-5e-4),
+    )
+    opt_state = tx.init(params)
+    state = replicate(mesh, {"params": params, "batch_stats": batch_stats, "opt": opt_state})
+
+    def train_step(state, wave, labels, step_rng):
+        # end-to-end: on-device preprocessing + forward + backward + update
+        mel = log_mel(wave)[:, :80, :117]
+
+        def loss_fn(p):
+            logits, mutated = model.apply(
+                {"params": p, "batch_stats": state["batch_stats"]},
+                mel, train=True, mutable=["batch_stats"], rngs={"dropout": step_rng},
+            )
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits.astype(jnp.float32), labels)
+            return jnp.mean(ce), mutated.get("batch_stats", state["batch_stats"])
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
+        updates, new_opt = tx.update(grads, state["opt"], state["params"])
+        new_params = optax.apply_updates(state["params"], updates)
+        return {"params": new_params, "batch_stats": new_bs, "opt": new_opt}, loss
+
+    step = jax.jit(train_step, donate_argnums=(0,))
+    wave_d = jax.device_put(jnp.asarray(waves), bsharding)
+    labels_d = jax.device_put(jnp.asarray(labels), bsharding)
+
+    for i in range(WARMUP):
+        state, loss = step(state, wave_d, labels_d, jax.random.PRNGKey(i))
+    jax.block_until_ready(state["params"])
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, loss = step(state, wave_d, labels_d, jax.random.PRNGKey(i))
+    jax.block_until_ready(state["params"])
+    dt = time.perf_counter() - t0
+    clips_per_sec = batch * STEPS / dt
+    return clips_per_sec / n_chips
+
+
+def bench_torch_baseline() -> float:
+    """Reference-equivalent torch loop (vgg_lstm-class model) on host CPU."""
+    try:
+        import torch
+        import torch.nn as tnn
+    except Exception:
+        return float("nan")
+
+    torch.manual_seed(0)
+
+    # Independent reimplementation of the reference's vgg_lstm shape:
+    # VGG11-BN features over (B,1,80,117) → collapse freq → BiLSTM → classifier.
+    def vgg11_features():
+        cfg = [64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"]
+        layers, c_in = [], 1
+        for v in cfg:
+            if v == "M":
+                layers.append(tnn.MaxPool2d(2, 2))
+            else:
+                layers += [tnn.Conv2d(c_in, v, 3, padding=1), tnn.BatchNorm2d(v), tnn.ReLU(True)]
+                c_in = v
+        return tnn.Sequential(*layers)
+
+    class VggLstm(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = vgg11_features()
+            self.pool = tnn.AdaptiveAvgPool2d((None, 1))
+            self.lstm = tnn.LSTM(512, 128, num_layers=2, bidirectional=True, batch_first=True)
+            self.head = tnn.Sequential(
+                tnn.Linear(256, 128), tnn.BatchNorm1d(128), tnn.ReLU(True),
+                tnn.Dropout(0.3), tnn.Linear(128, 4),
+            )
+
+        def forward(self, x):
+            f = self.features(x.unsqueeze(1))  # (B,512,H',W')
+            f = self.pool(f).squeeze(-1).transpose(1, 2)  # (B,H',512)
+            out, _ = self.lstm(f)
+            return self.head(out[:, -1, :])
+
+    model = VggLstm()
+    opt = torch.optim.Adam(model.parameters(), lr=5e-4, weight_decay=1e-4)
+    loss_fn = tnn.CrossEntropyLoss()
+    x = torch.randn(BATCH, 80, 117)
+    y = torch.randint(0, 4, (BATCH,))
+
+    model(x)  # warmup
+    steps = 4
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        opt.zero_grad()
+        loss = loss_fn(model(x), y)
+        loss.backward()
+        opt.step()
+    dt = time.perf_counter() - t0
+    return BATCH * steps / dt
+
+
+def main():
+    value = bench_jax()
+    baseline = bench_torch_baseline()
+    vs = value / baseline if baseline == baseline and baseline > 0 else -1.0
+    print(json.dumps({
+        "metric": "audio vgg_lstm end-to-end train clips/sec/chip (incl. on-device log-mel)",
+        "value": round(value, 2),
+        "unit": "clips/s/chip",
+        "vs_baseline": round(vs, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,72 @@
+"""Audio-only pipeline: log-mel → CNN/LSTM/Transformer classifiers.
+
+Equivalent of ``python audio/train.py`` (reference: audio/train.py:136-197)
+with the same YAML schema (reference: audio/configs/audio_config.yaml), the
+same 7-model registry, the same Adam + ReduceLROnPlateau('min', 0.5, 5)
+recipe, per-epoch test eval, best-val checkpointing, and final test on the
+reloaded best checkpoint.
+
+TPU-native differences: features are computed once on device by the fused
+log-mel kernel; training is data-parallel over the mesh. The reference's
+shuffled val/test loaders (audio/train.py:113-114) don't change metrics
+(full-epoch averages are order-invariant), so evaluation here is unshuffled.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+from multimodal_lipread_tpu.config import Config
+from multimodal_lipread_tpu.models.audio import get_audio_model
+from multimodal_lipread_tpu.pipelines.common import (
+    default_dirs,
+    load_audio_datasets,
+    parse_cli,
+)
+from multimodal_lipread_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
+    if isinstance(config, str):
+        from multimodal_lipread_tpu.config import load_config
+
+        config = load_config(config)
+    cfg = config
+
+    root_dir = cfg.get("dataset.root_dir")
+    num_classes = cfg.get("dataset.num_classes", 4)
+    input_size = cfg.get("dataset.input_size", 117)
+    model_name = cfg.get("model.name", "resnet")
+    version = cfg.get("model.version", 16)
+
+    datasets, index = load_audio_datasets(root_dir, input_size=input_size)
+    assert len(index.classes) == num_classes, (
+        f"config says {num_classes} classes but found {len(index.classes)}: {index.classes}"
+    )
+
+    model = get_audio_model(model_name, num_classes, input_size=input_size, version=version)
+    metrics_dir, ckpt_dir = default_dirs(cfg, "audio")
+    trainer = Trainer(
+        model,
+        TrainerConfig(
+            model_name=model_name,
+            num_classes=num_classes,
+            batch_size=cfg.get("training.batch_size", 32),
+            epochs=cfg.get("training.epochs", 10),
+            learning_rate=cfg.get("training.learning_rate", 5e-4),
+            weight_decay=cfg.get("training.weight_decay", 1e-4),
+            scheduler_mode="min",
+            scheduler_factor=0.5,
+            scheduler_patience=5,
+            seed=cfg.get("training.seed", 0),
+            metrics_dir=metrics_dir,
+            checkpoints_dir=ckpt_dir,
+            test_every_epoch=True,
+        ),
+    )
+    return trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
+
+
+if __name__ == "__main__":
+    cfg = parse_cli()
+    main(cfg, resume=bool(cfg.get("_cli.resume", False)))

@@ -1,0 +1,45 @@
+"""Training-state checkpointing with the reference's best-val policy.
+
+The reference torch.saves ``{epoch, model_state_dict, optimizer_state_dict,
+val_acc}`` on each new best validation accuracy (reference:
+audio/train.py:172-179, cues_video/train.py:212-221) and, in the video and
+triple-fusion trainers, also a rolling per-epoch checkpoint + model_best
+(reference: video/train.py:248-262, audio_cues_video/train.py:179-187), then
+reloads the best for the final test (reference: audio/train.py:187-191).
+
+Format here: one msgpack file (flax.serialization) holding the full pytree —
+host-portable, mesh-independent (arrays are fully gathered on save and
+re-sharded on load by the trainer), and safe to load with a structure
+template. File names mirror the reference: ``<name>_checkpoint.msgpack``
+(rolling) and ``<name>_best.msgpack``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def _to_host(tree: Any) -> Any:
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def save_checkpoint(path: str, tree: Dict[str, Any]) -> None:
+    """Serialize a checkpoint pytree to ``path`` (atomic rename)."""
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    data = serialization.to_bytes(_to_host(tree))
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
+def load_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+    """Load a checkpoint into the structure of ``template``."""
+    with open(path, "rb") as f:
+        data = f.read()
+    return serialization.from_bytes(_to_host(template), data)

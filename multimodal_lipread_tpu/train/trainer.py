@@ -1,0 +1,389 @@
+"""Generic data-parallel trainer for every pipeline.
+
+One Trainer replaces the reference's seven copy-pasted train.py epoch loops
+(reference: audio/train.py:59-197, video/train.py:85-285,
+audio_video/train.py:57-160, audio_cues/train.py:65-179,
+cues_video/train.py:86-237, audio_cues_video/train.py:52-212), reproducing
+their observable behavior:
+
+- Adam with torch-style L2 weight decay (decay added to the gradient BEFORE
+  the Adam moments, like ``torch.optim.Adam(weight_decay=...)``)
+- ReduceLROnPlateau on val loss (mode='min') or val acc (mode='max')
+- per-epoch CSV + TXT metric logs (7-column schema, ``Final Test`` footer)
+- best-val-accuracy checkpoint; optional rolling per-epoch checkpoint with
+  resume; final test runs on the RELOADED best checkpoint
+- optional class-weighted cross entropy (reference:
+  cues/models/minilm_models/dense.py:198-201)
+
+TPU-first design (not in the reference):
+
+- the whole dataset is preprocessed to fixed-shape arrays up front, so the
+  hot loop is pure device compute — no per-epoch feature recomputation in
+  loader workers (SURVEY.md §3.1 bottleneck)
+- every batch is padded to one static shape and sharded over a 1-D
+  ``jax.sharding.Mesh`` (`P('data')`); parameters are replicated; XLA inserts
+  the gradient ``psum`` over ICI
+- one ``jax.jit``-compiled train step (donated state) and eval step for the
+  entire run; the learning rate is an ``optax.inject_hyperparams`` leaf, so
+  plateau reductions never recompile
+- per-example correctness/loss are computed on device and reduced once per
+  batch; only two scalars cross back to the host
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax.core import FrozenDict
+
+from multimodal_lipread_tpu.parallel.mesh import batch_sharding, get_mesh, replicate
+from multimodal_lipread_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from multimodal_lipread_tpu.train.schedule import ReduceLROnPlateau
+from multimodal_lipread_tpu.utils.metrics_log import MetricLogger
+
+
+@dataclasses.dataclass
+class ArrayDataset:
+    """A fully-materialized dataset: tuple of input arrays + integer labels.
+
+    All arrays share the leading (example) axis. This is the post-preprocessing
+    contract every pipeline lowers its data to before training.
+    """
+
+    inputs: Tuple[np.ndarray, ...]
+    labels: np.ndarray
+
+    def __post_init__(self):
+        n = len(self.labels)
+        for a in self.inputs:
+            assert a.shape[0] == n, f"input leading dim {a.shape[0]} != {n}"
+
+    def __len__(self) -> int:
+        return len(self.labels)
+
+
+@dataclasses.dataclass
+class TrainerConfig:
+    model_name: str
+    num_classes: int
+    batch_size: int = 32
+    epochs: int = 10
+    learning_rate: float = 5e-4
+    weight_decay: float = 1e-4
+    scheduler_mode: str = "min"  # 'min' → val loss, 'max' → val acc
+    scheduler_factor: float = 0.5
+    scheduler_patience: int = 5
+    min_lr: float = 0.0
+    seed: int = 0
+    metrics_dir: str = "metrics"
+    checkpoints_dir: str = "models_trained"
+    log_columns: str = "full"  # 'full' or 'train_val'
+    test_every_epoch: bool = True
+    rolling_checkpoint: bool = False
+    class_weights: Optional[np.ndarray] = None
+    half_precision: bool = False  # cast inputs to bf16 before the model
+
+
+@dataclasses.dataclass
+class EpochMetrics:
+    loss: float
+    acc: float  # percent, like the reference logs
+
+
+class Trainer:
+    """Data-parallel trainer over a 1-D device mesh."""
+
+    def __init__(
+        self,
+        model: Any,
+        config: TrainerConfig,
+        mesh: Optional[Any] = None,
+        apply_train_kwargs: Optional[Dict[str, Any]] = None,
+    ):
+        self.model = model
+        self.config = config
+        self.mesh = mesh if mesh is not None else get_mesh()
+        self.n_devices = self.mesh.devices.size
+        # pad the per-step batch so it shards evenly over the mesh
+        bs = config.batch_size
+        self.batch_size = ((bs + self.n_devices - 1) // self.n_devices) * self.n_devices
+        self._batch_sharding = batch_sharding(self.mesh)
+        self._apply_train_kwargs = apply_train_kwargs or {}
+        self._compiled = False
+        self.state: Optional[Dict[str, Any]] = None
+        self.scheduler = ReduceLROnPlateau(
+            config.learning_rate,
+            mode=config.scheduler_mode,
+            factor=config.scheduler_factor,
+            patience=config.scheduler_patience,
+            min_lr=config.min_lr,
+        )
+        self.logger = MetricLogger(config.metrics_dir, config.model_name, columns=config.log_columns)
+        cw = config.class_weights
+        self._class_weights = None if cw is None else jnp.asarray(cw, jnp.float32)
+
+    # ------------------------------------------------------------------ setup
+
+    def _make_tx(self) -> optax.GradientTransformation:
+        def tx_fn(learning_rate):
+            return optax.chain(
+                optax.add_decayed_weights(self.config.weight_decay),
+                optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
+                optax.scale(-learning_rate),
+            )
+
+        return optax.inject_hyperparams(tx_fn)(learning_rate=self.config.learning_rate)
+
+    def init_state(self, example_inputs: Sequence[np.ndarray]) -> Dict[str, Any]:
+        """Initialize parameters/optimizer; replicate over the mesh."""
+        rng = jax.random.PRNGKey(self.config.seed)
+        dummy = tuple(jnp.asarray(a[: self.n_devices]) for a in example_inputs)
+        variables = self.model.init(
+            {"params": rng, "dropout": rng}, *dummy, train=False, **self._apply_train_kwargs
+        )
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict({}))
+        tx = self._make_tx()
+        opt_state = tx.init(params)
+        state = {
+            "params": params,
+            "batch_stats": batch_stats,
+            "opt_state": opt_state,
+            "step": jnp.zeros((), jnp.int32),
+        }
+        self._tx = tx
+        self.state = replicate(self.mesh, state)
+        return self.state
+
+    # ------------------------------------------------------------ step fns
+
+    def _build_steps(self):
+        model = self.model
+        tx = self._tx
+        class_weights = self._class_weights
+        cast = (lambda x: x.astype(jnp.bfloat16)) if self.config.half_precision else (lambda x: x)
+        extra = self._apply_train_kwargs
+
+        def per_example_weight(labels, weights):
+            if class_weights is None:
+                return weights
+            return weights * class_weights[labels]
+
+        def forward(params, batch_stats, inputs, train, rngs):
+            variables = {"params": params, "batch_stats": batch_stats}
+            if train:
+                logits, mutated = model.apply(
+                    variables, *inputs, train=True, mutable=["batch_stats"], rngs=rngs, **extra
+                )
+                return logits, mutated.get("batch_stats", batch_stats)
+            logits = model.apply(variables, *inputs, train=False, **extra)
+            return logits, batch_stats
+
+        def train_step(state, inputs, labels, weights, rng):
+            inputs = tuple(cast(x) for x in inputs)
+            step_rng = jax.random.fold_in(rng, state["step"])
+            w = per_example_weight(labels, weights)
+            denom = jnp.maximum(jnp.sum(w), 1e-9)
+
+            def loss_fn(params):
+                logits, new_bs = forward(
+                    params, state["batch_stats"], inputs, True, {"dropout": step_rng}
+                )
+                logits = logits.astype(jnp.float32)
+                ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+                loss = jnp.sum(ce * w) / denom
+                return loss, (logits, new_bs)
+
+            (loss, (logits, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state["params"]
+            )
+            updates, new_opt = tx.update(grads, state["opt_state"], state["params"])
+            new_params = optax.apply_updates(state["params"], updates)
+            correct = jnp.sum((jnp.argmax(logits, -1) == labels) * weights)
+            n = jnp.sum(weights)
+            new_state = {
+                "params": new_params,
+                "batch_stats": new_bs,
+                "opt_state": new_opt,
+                "step": state["step"] + 1,
+            }
+            return new_state, loss * jnp.sum(w), correct, n, jnp.sum(w)
+
+        def eval_step(params, batch_stats, inputs, labels, weights):
+            inputs = tuple(cast(x) for x in inputs)
+            logits, _ = forward(params, batch_stats, inputs, False, None)
+            logits = logits.astype(jnp.float32)
+            ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+            w = per_example_weight(labels, weights)
+            loss_sum = jnp.sum(ce * w)
+            correct = jnp.sum((jnp.argmax(logits, -1) == labels) * weights)
+            return loss_sum, correct, jnp.sum(weights), jnp.sum(w)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+        self._compiled = True
+
+    # ------------------------------------------------------------ batching
+
+    def _batches(self, ds: ArrayDataset, shuffle: bool, rng: np.random.Generator):
+        """Yield fixed-shape (inputs, labels, weights) batches, zero-padded."""
+        n = len(ds)
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idx = order[start : start + bs]
+            k = len(idx)
+            weights = np.zeros((bs,), np.float32)
+            weights[:k] = 1.0
+            if k < bs:
+                idx = np.concatenate([idx, np.zeros(bs - k, idx.dtype)])
+            inputs = tuple(
+                jax.device_put(a[idx], self._batch_sharding) for a in ds.inputs
+            )
+            labels = jax.device_put(ds.labels[idx].astype(np.int32), self._batch_sharding)
+            w = jax.device_put(weights, self._batch_sharding)
+            yield inputs, labels, w
+
+    # ------------------------------------------------------------ epochs
+
+    def train_epoch(self, ds: ArrayDataset, rng: np.random.Generator, base_rng) -> EpochMetrics:
+        loss_sum = 0.0
+        correct = 0.0
+        count = 0.0
+        wsum = 0.0
+        for inputs, labels, weights in self._batches(ds, shuffle=True, rng=rng):
+            self.state, l, c, n, w = self._train_step(self.state, inputs, labels, weights, base_rng)
+            loss_sum += float(l)
+            correct += float(c)
+            count += float(n)
+            wsum += float(w)
+        return EpochMetrics(loss=loss_sum / max(wsum, 1e-9), acc=100.0 * correct / max(count, 1))
+
+    def evaluate(self, ds: ArrayDataset, params=None, batch_stats=None) -> EpochMetrics:
+        params = self.state["params"] if params is None else params
+        batch_stats = self.state["batch_stats"] if batch_stats is None else batch_stats
+        loss_sum = 0.0
+        correct = 0.0
+        count = 0.0
+        wsum = 0.0
+        rng = np.random.default_rng(0)
+        for inputs, labels, weights in self._batches(ds, shuffle=False, rng=rng):
+            l, c, n, w = self._eval_step(params, batch_stats, inputs, labels, weights)
+            loss_sum += float(l)
+            correct += float(c)
+            count += float(n)
+            wsum += float(w)
+        return EpochMetrics(loss=loss_sum / max(wsum, 1e-9), acc=100.0 * correct / max(count, 1))
+
+    # ------------------------------------------------------------ orchestration
+
+    def _ckpt_path(self, kind: str) -> str:
+        os.makedirs(self.config.checkpoints_dir, exist_ok=True)
+        return os.path.join(self.config.checkpoints_dir, f"{self.config.model_name}_{kind}.msgpack")
+
+    def _set_lr(self, lr: float) -> None:
+        self.state["opt_state"].hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+
+    def fit(
+        self,
+        train_ds: ArrayDataset,
+        val_ds: ArrayDataset,
+        test_ds: Optional[ArrayDataset] = None,
+        resume: bool = False,
+        progress: Optional[Callable[[str], None]] = print,
+    ) -> Dict[str, Any]:
+        """Full training run; returns history + final (best-checkpoint) test metrics."""
+        cfg = self.config
+        if self.state is None:
+            self.init_state(train_ds.inputs)
+        if not self._compiled:
+            self._build_steps()
+
+        start_epoch = 1
+        best_val_acc = -1.0
+        ckpt_template = {
+            "epoch": 0,
+            "state": jax.tree_util.tree_map(np.asarray, self.state),
+            "val_acc": 0.0,
+            "scheduler_lr": float(self.scheduler.lr),
+        }
+        rolling_path = self._ckpt_path("checkpoint")
+        best_path = self._ckpt_path("best")
+        if resume and os.path.exists(rolling_path):
+            ckpt = load_checkpoint(rolling_path, ckpt_template)
+            self.state = replicate(self.mesh, ckpt["state"])
+            start_epoch = int(ckpt["epoch"]) + 1
+            best_val_acc = float(ckpt["val_acc"])
+            self.scheduler.lr = float(ckpt["scheduler_lr"])
+            if progress:
+                progress(f"Resumed from {rolling_path} at epoch {start_epoch}")
+
+        data_rng = np.random.default_rng(cfg.seed)
+        base_rng = jax.random.PRNGKey(cfg.seed + 1)
+        history: List[Dict[str, float]] = []
+
+        for epoch in range(start_epoch, cfg.epochs + 1):
+            t0 = time.time()
+            tr = self.train_epoch(train_ds, data_rng, base_rng)
+            va = self.evaluate(val_ds)
+            metric = va.loss if cfg.scheduler_mode == "min" else va.acc
+            new_lr = self.scheduler.step(metric)
+            self._set_lr(new_lr)
+            te = (
+                self.evaluate(test_ds)
+                if (test_ds is not None and cfg.test_every_epoch)
+                else None
+            )
+            self.logger.log_epoch(
+                epoch, tr.loss, tr.acc, va.loss, va.acc,
+                te.loss if te else None, te.acc if te else None,
+            )
+            history.append(
+                {
+                    "epoch": epoch, "train_loss": tr.loss, "train_acc": tr.acc,
+                    "val_loss": va.loss, "val_acc": va.acc,
+                    **({"test_loss": te.loss, "test_acc": te.acc} if te else {}),
+                    "lr": new_lr, "seconds": time.time() - t0,
+                }
+            )
+            if progress:
+                msg = (
+                    f"Epoch {epoch}/{cfg.epochs} "
+                    f"train {tr.loss:.4f}/{tr.acc:.2f}% val {va.loss:.4f}/{va.acc:.2f}%"
+                )
+                if te:
+                    msg += f" test {te.loss:.4f}/{te.acc:.2f}%"
+                progress(msg + f" lr {new_lr:.2e} ({time.time() - t0:.1f}s)")
+
+            ckpt = {
+                "epoch": epoch,
+                "state": jax.tree_util.tree_map(np.asarray, self.state),
+                "val_acc": float(va.acc),
+                "scheduler_lr": float(self.scheduler.lr),
+            }
+            if va.acc > best_val_acc:
+                best_val_acc = va.acc
+                save_checkpoint(best_path, ckpt)
+            if cfg.rolling_checkpoint:
+                save_checkpoint(rolling_path, ckpt)
+
+        result: Dict[str, Any] = {"history": history, "best_val_acc": best_val_acc}
+        if test_ds is not None and os.path.exists(best_path):
+            best = load_checkpoint(best_path, ckpt_template)
+            best_state = replicate(self.mesh, best["state"])
+            final = self.evaluate(
+                test_ds, params=best_state["params"], batch_stats=best_state["batch_stats"]
+            )
+            self.logger.log_final(final.loss, final.acc)
+            result["final_test_loss"] = final.loss
+            result["final_test_acc"] = final.acc
+            if progress:
+                progress(f"Final Test Loss: {final.loss:.4f}, Final Test Acc: {final.acc:.2f}%")
+        return result

@@ -54,7 +54,7 @@ class MetricLogger:
             writer = csv.writer(f)
             row = [epoch, train_loss, train_acc, val_loss, val_acc]
             if self.columns == "full":
-                row += [test_loss, test_acc]
+                row += ["" if test_loss is None else test_loss, "" if test_acc is None else test_acc]
             writer.writerow(row)
 
         with open(self.txt_path, "a") as f:
@@ -63,7 +63,7 @@ class MetricLogger:
                 f"  Train Loss: {train_loss:.4f}, Train Acc: {train_acc:.2f}%\n"
                 f"  Val Loss:   {val_loss:.4f}, Val Acc:   {val_acc:.2f}%\n"
             )
-            if self.columns == "full":
+            if self.columns == "full" and test_loss is not None and test_acc is not None:
                 f.write(f"  Test Loss:  {test_loss:.4f}, Test Acc:  {test_acc:.2f}%\n")
             f.write("\n")
 

@@ -1,0 +1,144 @@
+"""End-to-end Trainer tests on the virtual 8-device CPU mesh."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from multimodal_lipread_tpu.config import Config
+from multimodal_lipread_tpu.train.schedule import ReduceLROnPlateau
+from multimodal_lipread_tpu.train.trainer import ArrayDataset, Trainer, TrainerConfig
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_reduce_lr_on_plateau_min_mode():
+    s = ReduceLROnPlateau(1.0, mode="min", factor=0.5, patience=2)
+    for loss in [1.0, 0.9, 0.8]:
+        assert s.step(loss) == 1.0
+    # 3 bad epochs (patience 2) → reduce
+    s.step(0.85)
+    s.step(0.85)
+    assert s.step(0.85) == 0.5
+    # improvement resets
+    assert s.step(0.1) == 0.5
+
+
+def test_reduce_lr_on_plateau_max_mode():
+    s = ReduceLROnPlateau(1.0, mode="max", factor=0.1, patience=0)
+    assert s.step(10.0) == 1.0
+    assert s.step(5.0) == pytest.approx(0.1)
+
+
+def _tiny_dataset(n=48, num_classes=4, seed=0):
+    rng = np.random.default_rng(seed)
+    labels = rng.integers(0, num_classes, size=n).astype(np.int32)
+    # linearly separable features so a tiny model can fit
+    x = rng.standard_normal((n, 80, 32)).astype(np.float32) * 0.1
+    for i, l in enumerate(labels):
+        x[i, l * 10 : l * 10 + 10, :] += 2.0
+    return ArrayDataset(inputs=(x,), labels=labels)
+
+
+class _TinyModel:
+    pass
+
+
+def test_trainer_fits_tiny_problem(tmp_path):
+    from flax import linen as nn
+    import jax.numpy as jnp
+
+    class Tiny(nn.Module):
+        num_classes: int = 4
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = x.reshape(x.shape[0], -1)
+            x = nn.Dense(32)(x)
+            x = nn.BatchNorm(use_running_average=not train)(x)
+            x = nn.relu(x)
+            x = nn.Dropout(0.1)(x, deterministic=not train)
+            return nn.Dense(self.num_classes)(x)
+
+    train_ds = _tiny_dataset(96, seed=0)
+    val_ds = _tiny_dataset(32, seed=1)
+    test_ds = _tiny_dataset(32, seed=2)
+
+    trainer = Trainer(
+        Tiny(),
+        TrainerConfig(
+            model_name="tiny",
+            num_classes=4,
+            batch_size=16,
+            epochs=5,
+            learning_rate=1e-2,
+            weight_decay=0.0,
+            metrics_dir=str(tmp_path / "metrics"),
+            checkpoints_dir=str(tmp_path / "ckpt"),
+        ),
+    )
+    result = trainer.fit(train_ds, val_ds, test_ds, progress=None)
+
+    assert result["final_test_acc"] > 80.0
+    # CSV log exists with the 7-column schema + Final Test footer in TXT
+    csv_path = tmp_path / "metrics" / "tiny_training_log.csv"
+    txt_path = tmp_path / "metrics" / "tiny_training_log.txt"
+    header = csv_path.read_text().splitlines()[0]
+    assert header == "epoch,train_loss,train_acc,val_loss,val_acc,test_loss,test_acc"
+    assert "Final Test" in txt_path.read_text()
+    # best checkpoint saved
+    assert os.path.exists(tmp_path / "ckpt" / "tiny_best.msgpack")
+
+
+def test_trainer_resume(tmp_path):
+    from flax import linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            return nn.Dense(4)(x.reshape(x.shape[0], -1))
+
+    train_ds = _tiny_dataset(32)
+    val_ds = _tiny_dataset(16, seed=1)
+
+    def make(epochs):
+        return Trainer(
+            Tiny(),
+            TrainerConfig(
+                model_name="tiny", num_classes=4, batch_size=16, epochs=epochs,
+                learning_rate=1e-2, weight_decay=0.0, rolling_checkpoint=True,
+                metrics_dir=str(tmp_path / "m"), checkpoints_dir=str(tmp_path / "c"),
+            ),
+        )
+
+    make(2).fit(train_ds, val_ds, progress=None)
+    t2 = make(4)
+    result = t2.fit(train_ds, val_ds, resume=True, progress=None)
+    # resumed from epoch 3: only 2 new epochs in history
+    assert [h["epoch"] for h in result["history"]] == [3, 4]
+
+
+def test_class_weighted_loss_runs(tmp_path):
+    from flax import linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            return nn.Dense(4)(x.reshape(x.shape[0], -1))
+
+    ds = _tiny_dataset(32)
+    trainer = Trainer(
+        Tiny(),
+        TrainerConfig(
+            model_name="tinyw", num_classes=4, batch_size=16, epochs=1,
+            learning_rate=1e-2, class_weights=np.array([1.0, 2.0, 0.5, 1.0]),
+            metrics_dir=str(tmp_path / "m"), checkpoints_dir=str(tmp_path / "c"),
+            test_every_epoch=False,
+        ),
+    )
+    result = trainer.fit(ds, ds, progress=None)
+    assert np.isfinite(result["history"][0]["train_loss"])
