@@ -71,6 +71,36 @@ def load_audio_datasets(
     return datasets, index
 
 
+def load_lip_sequences(paths: Sequence[str]) -> np.ndarray:
+    """Load lip-region .npy files → (N, 29, 44, 44, 3) float32 in [0, 1] (NTHWC).
+
+    The reference loads the same arrays, scales by 1/255 and permutes to
+    (C, T, H, W) (video/data_utils/dataset_loader.py:84-94); we keep
+    channels-last for TPU conv layouts.
+    """
+    if not paths:
+        return np.zeros((0, 29, 44, 44, 3), np.float32)
+    return np.stack([np.load(p).astype(np.float32) / 255.0 for p in paths])
+
+
+def load_video_datasets(
+    lip_root: str,
+    splits: Sequence[str] = SPLITS,
+) -> Tuple[Dict[str, ArrayDataset], "GlipsIndex"]:
+    """Scan a lip-region mirror tree and materialize per-split video datasets."""
+    from multimodal_lipread_tpu.data.glips import scan_lip_regions
+
+    index = scan_lip_regions(lip_root)
+    class_to_idx = index.class_to_idx
+    datasets: Dict[str, ArrayDataset] = {}
+    for split in splits:
+        entries = index.by_split(split)
+        lips = load_lip_sequences([e.path for e in entries])
+        labels = np.asarray([class_to_idx[e.word] for e in entries], np.int32)
+        datasets[split] = ArrayDataset(inputs=(lips,), labels=labels)
+    return datasets, index
+
+
 def parse_cli(default_config: Optional[str] = None) -> Config:
     """--config path.yaml [--set a.b=c ...] → Config with overrides applied."""
     parser = argparse.ArgumentParser()

@@ -1,0 +1,91 @@
+"""Video-only lip-reading pipeline.
+
+Equivalent of ``python video/train.py`` (reference: video/train.py:85-285)
+with the same YAML schema (video/config/visual_config.yaml), 7-model registry,
+Adam + ReduceLROnPlateau(mode='max') on val accuracy, rolling per-epoch
+checkpoint with resume support, best-val checkpointing, and final test on the
+reloaded best checkpoint (written to test_results.txt like the reference,
+video/train.py:277-280).
+
+Data: the preprocessed ``<root>_lip_regions`` .npy mirror tree
+(produced by multimodal_lipread_tpu.data.lip_extraction), loaded once into
+(N, 29, 44, 44, 3) arrays.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict
+
+from multimodal_lipread_tpu.config import Config
+from multimodal_lipread_tpu.data.glips import lip_regions_root, lipread_files_dir
+from multimodal_lipread_tpu.models.video import get_video_model
+from multimodal_lipread_tpu.pipelines.common import default_dirs, load_video_datasets, parse_cli
+from multimodal_lipread_tpu.train.trainer import Trainer, TrainerConfig
+
+
+def resolve_lip_root(cfg: Config) -> str:
+    """Derive the lip-regions directory the way the reference does
+    (video/data_utils/dataset_loader.py:133-139), or use an explicit one."""
+    explicit = cfg.get("dataset.lip_regions_root")
+    if explicit:
+        return explicit
+    root = cfg.get("dataset.root_dir")
+    return os.path.join(lip_regions_root(root), os.path.basename(lipread_files_dir(root)))
+
+
+def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
+    if isinstance(config, str):
+        from multimodal_lipread_tpu.config import load_config
+
+        config = load_config(config)
+    cfg = config
+
+    lip_root = resolve_lip_root(cfg)
+    datasets, index = load_video_datasets(lip_root)
+    num_classes = cfg.get("dataset.num_classes", len(index.classes))
+    model_name = cfg.get("model.name", "resnet_lstm")
+
+    model = get_video_model(
+        model_name,
+        num_classes,
+        resnet_version=cfg.get("model.resnet_version", 18),
+        shufflenet_version=cfg.get("model.shufflenet_version", "0.5x"),
+        feature_dim=cfg.get("model.feature_dim"),
+        dropout=cfg.get("model.dropout"),
+    )
+    metrics_dir, ckpt_dir = default_dirs(cfg, "video")
+    trainer = Trainer(
+        model,
+        TrainerConfig(
+            model_name=model_name,
+            num_classes=num_classes,
+            batch_size=cfg.get("training.batch_size", 16),
+            epochs=cfg.get("training.epochs", 10),
+            learning_rate=cfg.get("training.learning_rate", 5e-5),
+            weight_decay=cfg.get("training.weight_decay", 1e-5),
+            scheduler_mode="max",  # reference: video/train.py:213-215
+            scheduler_factor=0.5,
+            scheduler_patience=5,
+            seed=cfg.get("training.seed", 0),
+            metrics_dir=metrics_dir,
+            checkpoints_dir=ckpt_dir,
+            test_every_epoch=True,
+            rolling_checkpoint=True,  # reference: video/train.py:252-262
+        ),
+    )
+    result = trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
+
+    if "final_test_acc" in result:
+        with open(os.path.join(ckpt_dir, "test_results.txt"), "w") as f:
+            f.write(
+                f"Model: {model_name}\n"
+                f"Test Loss: {result['final_test_loss']:.4f}\n"
+                f"Test Acc: {result['final_test_acc']:.2f}%\n"
+            )
+    return result
+
+
+if __name__ == "__main__":
+    cfg = parse_cli()
+    main(cfg, resume=bool(cfg.get("_cli.resume", False)))
