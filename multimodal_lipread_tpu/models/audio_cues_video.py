@@ -1,0 +1,215 @@
+"""Triple fusion (audio + cue + video) zoo: the 7 reference architectures.
+
+Registry (reference: audio_cues_video/train.py:144-159): early_fusion_mobile,
+middle_fusion_mobile, late_fusion_mobile, early_fusion_resnet,
+middle_fusion_resnet, late_fusion_resnet, test_model.
+
+Inputs: ``mel`` (B, 80, input_size), ``cue`` (B, cue_dim),
+``lip`` (B, T, 44, 44, 3) NTHWC.
+
+Freezing semantics: the reference's early variants freeze the audio ResNet
+(with BatchNorm forced to eval) and the video MobileNet backbone
+(audio_cues_video/models/early_fusion_mobile.py:136-144). Here ``frozen=True``
+runs the encoder with running BN stats (train=False) and stops gradients —
+the same observable behavior without the checkpoint/chunk machinery.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_lipread_tpu.nn import BiLSTM
+from multimodal_lipread_tpu.models.backbones import MobileNetV2, ResNet
+
+
+class ModalityAttentionFusion(nn.Module):
+    """Stack M modality vectors; MLP scores → softmax over modalities →
+    weighted sum (reference: audio_cues_video/models/early_fusion_mobile.py:10-25).
+    Returns (fused, weights)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]):
+        stacked = jnp.stack(feats, axis=1)  # (B, M, D)
+        d = stacked.shape[-1]
+        s = nn.Dense(max(d // 2, 1), dtype=self.dtype, name="attn_fc1")(stacked)
+        s = nn.relu(s)
+        scores = nn.Dense(1, dtype=self.dtype, name="attn_fc2")(s).squeeze(-1)  # (B, M)
+        weights = nn.softmax(scores, axis=1)
+        fused = jnp.sum(stacked * weights[..., None], axis=1)
+        return fused, weights
+
+
+class TripleAudioEncoder(nn.Module):
+    """ResNet18 over the 1-channel mel image → 512-d; optionally frozen
+    (reference: early_fusion_mobile.py:128-152)."""
+
+    frozen: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel, train: bool = False):
+        enc_train = train and not self.frozen
+        feats = ResNet(18, dtype=self.dtype, name="resnet")(mel[..., None], enc_train)
+        return jax.lax.stop_gradient(feats) if self.frozen else feats
+
+
+class TripleCueEncoder(nn.Module):
+    """Linear(768→256)→BN→ReLU→Drop(0.3)→Linear(256→256)→ReLU
+    (reference: early_fusion_mobile.py:158-172)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, cue, train: bool = False):
+        x = nn.Dense(256, dtype=self.dtype, name="fc1")(cue)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, name="bn")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.3)(x, deterministic=not train)
+        x = nn.Dense(256, dtype=self.dtype, name="fc2")(x)
+        return nn.relu(x)
+
+
+class TripleVideoEncoder(nn.Module):
+    """Per-frame backbone + 1-layer BiLSTM, LAST step → (B, feature_dim)
+    (reference: early_fusion_mobile.py:78-122 MobileNetLSTM)."""
+
+    backbone: str = "mobilenet_v2"
+    feature_dim: int = 256
+    frozen: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, video, train: bool = False):
+        B, T = video.shape[0], video.shape[1]
+        flat = video.reshape((B * T,) + video.shape[2:])
+        enc_train = train and not self.frozen
+        if self.backbone == "mobilenet_v2":
+            feats = MobileNetV2(dtype=self.dtype, name="cnn")(flat, enc_train)
+        else:
+            feats = ResNet(18, dtype=self.dtype, name="cnn")(flat, enc_train)
+        if self.frozen:
+            feats = jax.lax.stop_gradient(feats)
+        seq = feats.reshape(B, T, -1)
+        out = BiLSTM(self.feature_dim // 2, 1, dtype=self.dtype, name="lstm")(seq)
+        return out[:, -1, :]
+
+
+class MultimodalAttentionEarly(nn.Module):
+    """(reference: early_fusion_mobile.py:178-213; resnet variant
+    early_fusion_resnet.py)"""
+
+    num_classes: int
+    video_backbone: str = "mobilenet_v2"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel, cue, lip, train: bool = False):
+        a = TripleAudioEncoder(frozen=True, dtype=self.dtype, name="audio")(mel, train)
+        c = TripleCueEncoder(dtype=self.dtype, name="cue")(cue, train)
+        v = TripleVideoEncoder(self.video_backbone, frozen=True, dtype=self.dtype,
+                               name="video")(lip, train)
+        a = nn.Dense(256, dtype=self.dtype, name="ap")(a)
+        c = nn.Dense(256, dtype=self.dtype, name="cp")(c)
+        v = nn.Dense(256, dtype=self.dtype, name="vp")(v)
+        fused, _ = ModalityAttentionFusion(dtype=self.dtype, name="attn")([a, c, v])
+        x = nn.Dense(256, dtype=self.dtype, name="fc1")(fused)
+        x = nn.relu(x)
+        x = nn.Dropout(0.4)(x, deterministic=not train)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(x)
+
+
+class MultimodalAttentionMiddle(nn.Module):
+    """(reference: middle_fusion_mobile.py:85-114)"""
+
+    num_classes: int
+    video_backbone: str = "mobilenet_v2"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel, cue, lip, train: bool = False):
+        a = TripleAudioEncoder(dtype=self.dtype, name="audio")(mel, train)
+        c = TripleCueEncoder(dtype=self.dtype, name="cue")(cue, train)
+        v = TripleVideoEncoder(self.video_backbone, dtype=self.dtype, name="video")(lip, train)
+        a = nn.Dense(256, dtype=self.dtype, name="ap")(a)
+        v = nn.Dense(256, dtype=self.dtype, name="vp")(v)
+        fused, _ = ModalityAttentionFusion(dtype=self.dtype, name="attn")([a, c, v])
+        x = nn.Dense(512, dtype=self.dtype, name="fc1")(fused)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.4)(x, deterministic=not train)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(x)
+
+
+class MultimodalAttentionLate(nn.Module):
+    """Per-modality logits → modality attention over logits
+    (reference: late_fusion_mobile.py:85-107)."""
+
+    num_classes: int
+    video_backbone: str = "mobilenet_v2"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel, cue, lip, train: bool = False):
+        a = TripleAudioEncoder(dtype=self.dtype, name="audio")(mel, train)
+        c = TripleCueEncoder(dtype=self.dtype, name="cue")(cue, train)
+        v = TripleVideoEncoder(self.video_backbone, dtype=self.dtype, name="video")(lip, train)
+        a_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="afc")(a)
+        c_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="cfc")(c)
+        v_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="vfc")(v)
+        fused, _ = ModalityAttentionFusion(dtype=self.dtype, name="attn")(
+            [a_logits, c_logits, v_logits]
+        )
+        return fused
+
+
+class MultimodalThreeNet(nn.Module):
+    """Plain concat baseline (reference: audio_cues_video/models/test_model.py:27-172)."""
+
+    num_classes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, mel, cue, lip, train: bool = False):
+        a = TripleAudioEncoder(dtype=self.dtype, name="audio")(mel, train)
+        c = TripleCueEncoder(dtype=self.dtype, name="cue")(cue, train)
+        v = TripleVideoEncoder("mobilenet_v2", dtype=self.dtype, name="video")(lip, train)
+        fused = jnp.concatenate([a, c, v], axis=-1)
+        x = nn.Dense(512, dtype=self.dtype, name="fc1")(fused)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, name="bn1")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.4)(x, deterministic=not train)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(x)
+
+
+def get_triple_model(name: str, num_classes: int, dtype: Any = jnp.float32) -> nn.Module:
+    if name == "early_fusion_mobile":
+        return MultimodalAttentionEarly(num_classes, "mobilenet_v2", dtype=dtype)
+    if name == "middle_fusion_mobile":
+        return MultimodalAttentionMiddle(num_classes, "mobilenet_v2", dtype=dtype)
+    if name == "late_fusion_mobile":
+        return MultimodalAttentionLate(num_classes, "mobilenet_v2", dtype=dtype)
+    if name == "early_fusion_resnet":
+        return MultimodalAttentionEarly(num_classes, "resnet18", dtype=dtype)
+    if name == "middle_fusion_resnet":
+        return MultimodalAttentionMiddle(num_classes, "resnet18", dtype=dtype)
+    if name == "late_fusion_resnet":
+        return MultimodalAttentionLate(num_classes, "resnet18", dtype=dtype)
+    if name == "test_model":
+        return MultimodalThreeNet(num_classes, dtype=dtype)
+    raise ValueError(f"Unknown audio_cues_video model: {name}")
+
+
+TRIPLE_MODEL_NAMES = (
+    "early_fusion_mobile", "middle_fusion_mobile", "late_fusion_mobile",
+    "early_fusion_resnet", "middle_fusion_resnet", "late_fusion_resnet",
+    "test_model",
+)

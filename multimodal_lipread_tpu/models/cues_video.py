@@ -1,0 +1,189 @@
+"""Video + textual-cue fusion zoo: the 7 reference architectures, TPU-native.
+
+Registry (reference: cues_video/train.py model selection): early_fusion_mobile,
+middle_fusion_mobile, late_fusion_mobile, early_fusion_resnet,
+middle_fusion_resnet, late_fusion_resnet, test_model.
+
+Inputs (cue first, matching the reference's forward(cue, video)):
+``cue`` (B, cue_dim); ``video`` (B, T, 44, 44, 3) NTHWC.
+
+The reference's memory machinery — TimeDistributedChunked(chunk=8) and
+torch.utils.checkpoint wrappers (cues_video/models/early_fusion_mobile.py:10-62)
+— is unnecessary here: frames are encoded as one (B*T) batched conv and XLA
+rematerializes as needed (use jax.checkpoint at the step level if ever
+required). ``freeze_backbone`` is reproduced with ``jax.lax.stop_gradient``.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from multimodal_lipread_tpu.nn import BiLSTM
+from multimodal_lipread_tpu.models.backbones import MobileNetV2, ResNet
+
+
+class VideoLSTMSeqEncoder(nn.Module):
+    """Per-frame backbone + 1-layer BiLSTM returning the FULL (B, T, D) sequence
+    (reference: cues_video/models/early_fusion_mobile.py:68-127 MobileNetLSTM,
+    early_fusion_resnet.py:25-50 ResNetLSTM)."""
+
+    backbone: str = "mobilenet_v2"
+    feature_dim: int = 256
+    freeze_backbone: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, video, train: bool = False):
+        B, T = video.shape[0], video.shape[1]
+        flat = video.reshape((B * T,) + video.shape[2:])
+        if self.backbone == "mobilenet_v2":
+            feats = MobileNetV2(dtype=self.dtype, name="cnn")(flat, train)
+        else:
+            feats = ResNet(18, dtype=self.dtype, name="cnn")(flat, train)
+        if self.freeze_backbone:
+            feats = jax.lax.stop_gradient(feats)
+        seq = feats.reshape(B, T, -1)
+        return BiLSTM(self.feature_dim // 2, 1, dtype=self.dtype, name="lstm")(seq)
+
+
+class CrossModalAttention(nn.Module):
+    """Single-query scaled dot-product: cue feature queries the video sequence
+    (reference: cues_video/models/early_fusion_mobile.py:131-147)."""
+
+    dim: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, q_vec, kv_seq):
+        q = nn.Dense(self.dim, dtype=self.dtype, name="query")(q_vec)  # (B, D)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="key")(kv_seq)  # (B, T, D)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="value")(kv_seq)
+        scores = jnp.einsum("bd,btd->bt", q, k) * (self.dim ** -0.5)
+        w = nn.softmax(scores, axis=-1)
+        return jnp.einsum("bt,btd->bd", w, v)
+
+
+class EarlyAttentionFusion(nn.Module):
+    """cue proj queries video seq → attended → MLP
+    (reference: cues_video/models/early_fusion_mobile.py:152-200)."""
+
+    num_classes: int
+    backbone: str = "mobilenet_v2"
+    freeze_backbone: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, cue, video, train: bool = False):
+        vseq = VideoLSTMSeqEncoder(self.backbone, 256, self.freeze_backbone,
+                                   dtype=self.dtype, name="video_encoder")(video, train)
+        c = nn.Dense(256, dtype=self.dtype, name="cue_proj")(cue)
+        c = nn.relu(c)
+        attended = CrossModalAttention(256, dtype=self.dtype, name="attn")(c, vseq)
+        x = nn.Dense(256, dtype=self.dtype, name="fc1")(attended)
+        x = nn.relu(x)
+        x = nn.Dropout(0.3)(x, deterministic=not train)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(x)
+
+
+class MiddleAttentionFusion(nn.Module):
+    """concat(video last step, attended) → fusion MLP
+    (reference: cues_video/models/middle_fusion_mobile.py:133-172)."""
+
+    num_classes: int
+    backbone: str = "mobilenet_v2"
+    freeze_backbone: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, cue, video, train: bool = False):
+        vseq = VideoLSTMSeqEncoder(self.backbone, 256, self.freeze_backbone,
+                                   dtype=self.dtype, name="video_encoder")(video, train)
+        c = nn.Dense(256, dtype=self.dtype, name="cue_fc")(cue)
+        c = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, name="cue_bn")(c)
+        c = nn.relu(c)
+        attended = CrossModalAttention(256, dtype=self.dtype, name="attn")(c, vseq)
+        fused = jnp.concatenate([vseq[:, -1, :], attended], axis=-1)
+        x = nn.Dense(512, dtype=self.dtype, name="fusion_fc")(fused)
+        x = nn.relu(x)
+        x = nn.Dropout(0.4)(x, deterministic=not train)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="classifier")(x)
+
+
+class LateAttentionFusion(nn.Module):
+    """Per-modality logits; a tiny MLP computes softmax 2-weights from their
+    concat (reference: cues_video/models/late_fusion_mobile.py:105-148)."""
+
+    num_classes: int
+    backbone: str = "mobilenet_v2"
+    freeze_backbone: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, cue, video, train: bool = False):
+        vseq = VideoLSTMSeqEncoder(self.backbone, 256, self.freeze_backbone,
+                                   dtype=self.dtype, name="video_encoder")(video, train)
+        v_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="video_head")(vseq[:, -1, :])
+        c = nn.Dense(256, dtype=self.dtype, name="cue_fc1")(cue)
+        c = nn.relu(c)
+        c_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="cue_fc2")(c)
+        g = nn.Dense(64, dtype=self.dtype, name="gate_fc1")(
+            jnp.concatenate([v_logits, c_logits], axis=-1)
+        )
+        g = nn.relu(g)
+        g = nn.Dense(2, dtype=self.dtype, name="gate_fc2")(g)
+        w = nn.softmax(g, axis=-1)
+        return w[:, 0:1] * v_logits + w[:, 1:2] * c_logits
+
+
+class MultimodalCueVideoNet(nn.Module):
+    """Plain concat baseline (reference: cues_video/models/test_model.py:83-107)."""
+
+    num_classes: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, cue, video, train: bool = False):
+        vseq = VideoLSTMSeqEncoder("mobilenet_v2", 256, dtype=self.dtype,
+                                   name="video_encoder")(video, train)
+        c = nn.Dense(256, dtype=self.dtype, name="cue_fc1")(cue)
+        c = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, name="cue_bn")(c)
+        c = nn.relu(c)
+        c = nn.Dropout(0.3)(c, deterministic=not train)
+        fused = jnp.concatenate([vseq[:, -1, :], c], axis=-1)
+        x = nn.Dense(512, dtype=self.dtype, name="fusion_fc")(fused)
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                         dtype=self.dtype, name="fusion_bn")(x)
+        x = nn.relu(x)
+        x = nn.Dropout(0.4)(x, deterministic=not train)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="classifier")(x)
+
+
+def get_cues_video_model(name: str, num_classes: int, dtype: Any = jnp.float32) -> nn.Module:
+    if name == "early_fusion_mobile":
+        return EarlyAttentionFusion(num_classes, "mobilenet_v2", True, dtype=dtype)
+    if name == "middle_fusion_mobile":
+        return MiddleAttentionFusion(num_classes, "mobilenet_v2", False, dtype=dtype)
+    if name == "late_fusion_mobile":
+        return LateAttentionFusion(num_classes, "mobilenet_v2", True, dtype=dtype)
+    if name == "early_fusion_resnet":
+        return EarlyAttentionFusion(num_classes, "resnet18", False, dtype=dtype)
+    if name == "middle_fusion_resnet":
+        return MiddleAttentionFusion(num_classes, "resnet18", False, dtype=dtype)
+    if name == "late_fusion_resnet":
+        return LateAttentionFusion(num_classes, "resnet18", False, dtype=dtype)
+    if name == "test_model":
+        return MultimodalCueVideoNet(num_classes, dtype=dtype)
+    raise ValueError(f"Unknown cues_video model: {name}")
+
+
+CUES_VIDEO_MODEL_NAMES = (
+    "early_fusion_mobile", "middle_fusion_mobile", "late_fusion_mobile",
+    "early_fusion_resnet", "middle_fusion_resnet", "late_fusion_resnet",
+    "test_model",
+)

@@ -1,0 +1,116 @@
+"""Triple fusion (audio + cue + video) pipeline.
+
+Equivalent of ``python audio_cues_video/train.py`` (reference:
+audio_cues_video/train.py:85-212): strict 3-way alignment by
+(word, sequence_id, split) with skip accounting
+(reference: audio_cues_video/data_utils/dataset.py:151-202), mpnet cue
+embeddings with md5 cache, Adam + weight decay, per-epoch rolling checkpoint +
+best-val checkpoint, final test on the reloaded best.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import numpy as np
+
+from multimodal_lipread_tpu.config import Config
+from multimodal_lipread_tpu.data.cues import embed_cached, load_cue_records, records_by_key
+from multimodal_lipread_tpu.data.glips import (
+    AUDIO_EXTS,
+    SPLITS,
+    align_modalities,
+    scan_glips,
+    scan_lip_regions,
+)
+from multimodal_lipread_tpu.models.audio_cues_video import get_triple_model
+from multimodal_lipread_tpu.pipelines.common import (
+    compute_logmel_features,
+    decode_waveforms,
+    default_dirs,
+    parse_cli,
+)
+from multimodal_lipread_tpu.pipelines.video import resolve_lip_root
+from multimodal_lipread_tpu.train.trainer import ArrayDataset, Trainer, TrainerConfig
+
+
+def load_triple_datasets(
+    root_dir: str,
+    cue_root: str,
+    lip_root: str,
+    input_size: int = 117,
+    cue_mode: str = "emotion",
+    embed_model: str = "mpnet",
+    cache_dir: str | None = None,
+    splits: Sequence[str] = SPLITS,
+) -> Tuple[Dict[str, ArrayDataset], list]:
+    audio_index = scan_glips(root_dir, exts=AUDIO_EXTS)
+    lip_index = scan_lip_regions(lip_root)
+    cue_map = records_by_key(load_cue_records(cue_root, cue_mode))
+    classes = audio_index.classes  # audio is the label source of truth
+    class_to_idx = audio_index.class_to_idx
+
+    datasets: Dict[str, ArrayDataset] = {}
+    for split in splits:
+        pairs = [
+            (a, v) for a, v in align_modalities(audio_index, lip_index, split=split)
+            if a.key in cue_map
+        ]
+        if not pairs:
+            raise RuntimeError(f"No aligned audio+cue+video samples for split '{split}'")
+        from multimodal_lipread_tpu.pipelines.common import load_lip_sequences
+
+        waves = decode_waveforms([a.path for a, _v in pairs])
+        mels = compute_logmel_features(waves, input_size=input_size)
+        cues = embed_cached([cue_map[a.key].description for a, _v in pairs],
+                            model=embed_model, cache_dir=cache_dir)
+        lips = load_lip_sequences([v.path for _a, v in pairs])
+        labels = np.asarray([class_to_idx[a.word] for a, _v in pairs], np.int32)
+        datasets[split] = ArrayDataset(inputs=(mels, cues, lips), labels=labels)
+    return datasets, classes
+
+
+def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
+    if isinstance(config, str):
+        from multimodal_lipread_tpu.config import load_config
+
+        config = load_config(config)
+    cfg = config
+
+    lip_root = cfg.get("dataset.lip_regions_root") or resolve_lip_root(cfg)
+    datasets, classes = load_triple_datasets(
+        cfg.get("dataset.root_dir"),
+        cfg.get("dataset.cue_root") or cfg.get("dataset.root_dir"),
+        lip_root,
+        input_size=cfg.get("dataset.input_size", 117),
+        cue_mode=cfg.get("dataset.cue_mode", "emotion"),
+        embed_model=cfg.get("dataset.embed_model", "mpnet"),
+        cache_dir=cfg.get("dataset.cache_dir"),
+    )
+    num_classes = cfg.get("dataset.num_classes", len(classes))
+    model_name = cfg.get("model.name", "late_fusion_mobile")
+
+    metrics_dir, ckpt_dir = default_dirs(cfg, "audio_cues_video")
+    trainer = Trainer(
+        get_triple_model(model_name, num_classes),
+        TrainerConfig(
+            model_name=model_name,
+            num_classes=num_classes,
+            batch_size=cfg.get("training.batch_size", 8),
+            epochs=cfg.get("training.epochs", 10),
+            learning_rate=cfg.get("training.learning_rate", 1e-5),
+            weight_decay=cfg.get("training.weight_decay", 1e-5),
+            scheduler_factor=1.0,  # reference triple trainer has no scheduler
+            seed=cfg.get("training.seed", 0),
+            metrics_dir=metrics_dir,
+            checkpoints_dir=ckpt_dir,
+            test_every_epoch=True,
+            rolling_checkpoint=True,  # reference: audio_cues_video/train.py:179-187
+        ),
+    )
+    return trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
+
+
+if __name__ == "__main__":
+    cfg = parse_cli()
+    main(cfg, resume=bool(cfg.get("_cli.resume", False)))

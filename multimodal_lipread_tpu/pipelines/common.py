@@ -47,8 +47,21 @@ def compute_logmel_features(
 
 
 def decode_waveforms(paths: Sequence[str]) -> np.ndarray:
-    """Host decode of audio files to fixed 20,000-sample float32 waveforms."""
-    return np.stack([load_waveform(p) for p in paths]) if paths else np.zeros((0, 20000), np.float32)
+    """Host decode of audio files to fixed 20,000-sample float32 waveforms.
+
+    PCM WAV batches go through the threaded native decoder
+    (native/mlt_io.cpp); anything else (m4a, odd sample rates) falls back to
+    the Python/ffmpeg path per file.
+    """
+    if not paths:
+        return np.zeros((0, 20000), np.float32)
+    if all(p.lower().endswith(".wav") for p in paths):
+        from multimodal_lipread_tpu.data.native_io import load_wav_batch
+
+        native = load_wav_batch(paths)
+        if native is not None:
+            return native
+    return np.stack([load_waveform(p) for p in paths])
 
 
 def load_audio_datasets(
@@ -80,6 +93,11 @@ def load_lip_sequences(paths: Sequence[str]) -> np.ndarray:
     """
     if not paths:
         return np.zeros((0, 29, 44, 44, 3), np.float32)
+    from multimodal_lipread_tpu.data.native_io import load_npy_u8_batch
+
+    native = load_npy_u8_batch(paths, (29, 44, 44, 3))
+    if native is not None:
+        return native
     return np.stack([np.load(p).astype(np.float32) / 255.0 for p in paths])
 
 

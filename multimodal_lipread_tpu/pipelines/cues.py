@@ -1,0 +1,132 @@
+"""Textual-cue classification pipeline.
+
+Equivalent of the reference's cue classifier trainers
+(cues/models/minilm_models/dense.py:174-216 and siblings): pool every cue
+record for one mode, encode labels over the sorted word set, embed
+descriptions per the model's embedding kind, split 90/10 train/val with a
+fixed seed (reference: dense.py:185-186 train_test_split(test_size=0.1,
+seed=42)), train with Adam + balanced class-weighted CE
+(reference: dense.py:198-201), and log train/val-only CSV/TXT
+(reference: dense.py:82-103).
+
+If the cue store carries explicit _train/_val/_test split files (the newer
+layout), those can be used directly via ``dataset.use_file_splits: true``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Tuple
+
+import numpy as np
+
+from multimodal_lipread_tpu.config import Config
+from multimodal_lipread_tpu.data.cues import (
+    CueRecord,
+    embed_cached,
+    load_cue_records,
+)
+from multimodal_lipread_tpu.models.cues import cue_embedding_kind, get_cue_model
+from multimodal_lipread_tpu.pipelines.common import default_dirs, parse_cli
+from multimodal_lipread_tpu.train.trainer import ArrayDataset, Trainer, TrainerConfig
+
+
+def balanced_class_weights(labels: np.ndarray, num_classes: int) -> np.ndarray:
+    """sklearn compute_class_weight('balanced') (reference: dense.py:198-201)."""
+    counts = np.bincount(labels, minlength=num_classes).astype(np.float64)
+    counts = np.maximum(counts, 1.0)
+    return (len(labels) / (num_classes * counts)).astype(np.float32)
+
+
+def _featurize(records: List[CueRecord], kind: str, cache_dir: str | None) -> np.ndarray:
+    descs = [r.description for r in records]
+    if kind == "tfidf":
+        from sklearn.feature_extraction.text import TfidfVectorizer
+
+        vec = TfidfVectorizer(max_features=5000, ngram_range=(1, 2), stop_words="english")
+        return vec.fit_transform(descs).toarray().astype(np.float32)
+    if kind.endswith("_tok"):
+        return embed_cached(descs, model=kind[:-4], cache_dir=cache_dir, token_level=True)
+    return embed_cached(descs, model=kind, cache_dir=cache_dir)
+
+
+def load_cue_classification_data(
+    cue_root: str,
+    mode: str,
+    kind: str,
+    cache_dir: str | None = None,
+    val_fraction: float = 0.1,
+    seed: int = 42,
+    use_file_splits: bool = False,
+) -> Tuple[Dict[str, ArrayDataset], List[str]]:
+    records = load_cue_records(cue_root, mode)
+    if not records:
+        raise RuntimeError(f"No cue records for mode '{mode}' under {cue_root}")
+    classes = sorted({r.word for r in records})
+    class_to_idx = {w: i for i, w in enumerate(classes)}
+
+    feats = _featurize(records, kind, cache_dir)
+    labels = np.asarray([class_to_idx[r.word] for r in records], np.int32)
+
+    datasets: Dict[str, ArrayDataset] = {}
+    if use_file_splits:
+        for split in ("train", "val", "test"):
+            m = np.asarray([r.split == split for r in records])
+            if m.any():
+                datasets[split] = ArrayDataset(inputs=(feats[m],), labels=labels[m])
+    else:
+        rng = np.random.default_rng(seed)
+        order = rng.permutation(len(records))
+        n_val = max(1, int(round(val_fraction * len(records))))
+        val_idx, train_idx = order[:n_val], order[n_val:]
+        datasets["train"] = ArrayDataset(inputs=(feats[train_idx],), labels=labels[train_idx])
+        datasets["val"] = ArrayDataset(inputs=(feats[val_idx],), labels=labels[val_idx])
+    return datasets, classes
+
+
+def main(config: Config | str) -> Dict[str, Any]:
+    if isinstance(config, str):
+        from multimodal_lipread_tpu.config import load_config
+
+        config = load_config(config)
+    cfg = config
+
+    cue_root = cfg.get("dataset.cue_root") or cfg.get("dataset.root_dir")
+    mode = cfg.get("dataset.cue_mode", "emotion")
+    model_name = cfg.get("model.name", "dense_nn")
+    kind = cfg.get("model.embedding", cue_embedding_kind(model_name))
+    cache_dir = cfg.get("dataset.cache_dir")
+
+    datasets, classes = load_cue_classification_data(
+        cue_root, mode, kind, cache_dir=cache_dir,
+        val_fraction=cfg.get("training.val_fraction", 0.1),
+        seed=cfg.get("training.split_seed", 42),
+        use_file_splits=cfg.get("dataset.use_file_splits", False),
+    )
+    num_classes = len(classes)
+    class_weights = balanced_class_weights(datasets["train"].labels, num_classes)
+
+    metrics_dir, ckpt_dir = default_dirs(cfg, f"cues_{mode}")
+    model = get_cue_model(model_name, num_classes)
+    trainer = Trainer(
+        model,
+        TrainerConfig(
+            model_name=model_name,
+            num_classes=num_classes,
+            batch_size=cfg.get("training.batch_size", 8),
+            epochs=cfg.get("training.epochs", 30),
+            learning_rate=cfg.get("training.learning_rate", 1e-3),
+            weight_decay=cfg.get("training.weight_decay", 0.0),
+            scheduler_factor=1.0,  # reference cue trainers have no LR scheduler
+            seed=cfg.get("training.seed", 42),
+            metrics_dir=metrics_dir,
+            checkpoints_dir=ckpt_dir,
+            log_columns="train_val",  # reference: dense.py:82-103
+            test_every_epoch=False,
+            class_weights=class_weights,
+        ),
+    )
+    return trainer.fit(datasets["train"], datasets["val"], datasets.get("test"))
+
+
+if __name__ == "__main__":
+    main(parse_cli())

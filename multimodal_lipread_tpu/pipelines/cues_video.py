@@ -1,0 +1,95 @@
+"""Video + textual-cue fusion pipeline.
+
+Equivalent of ``python cues_video/train.py`` (reference:
+cues_video/train.py:86-237): aligns cue records to lip-region sequences
+(reference: cues_video/data_utils/dataset.py:119-146), embeds descriptions
+with the md5 cache, trains with Adam + weight decay + plateau-min scheduler
+and best-val checkpointing. The reference's per-batch string-label encoding
+(train.py:94,125) is replaced by one deterministic class list built from the
+training words — the same mapping, computed once.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import numpy as np
+
+from multimodal_lipread_tpu.config import Config
+from multimodal_lipread_tpu.data.cues import embed_cached, load_cue_records, records_by_key
+from multimodal_lipread_tpu.data.glips import SPLITS, scan_lip_regions
+from multimodal_lipread_tpu.models.cues_video import get_cues_video_model
+from multimodal_lipread_tpu.pipelines.common import default_dirs, load_lip_sequences, parse_cli
+from multimodal_lipread_tpu.pipelines.video import resolve_lip_root
+from multimodal_lipread_tpu.train.trainer import ArrayDataset, Trainer, TrainerConfig
+
+
+def load_cue_video_datasets(
+    cue_root: str,
+    lip_root: str,
+    cue_mode: str = "emotion",
+    embed_model: str = "mpnet",
+    cache_dir: str | None = None,
+    splits: Sequence[str] = SPLITS,
+) -> Tuple[Dict[str, ArrayDataset], list]:
+    lip_index = scan_lip_regions(lip_root)
+    cue_map = records_by_key(load_cue_records(cue_root, cue_mode))
+    classes = lip_index.classes
+    class_to_idx = lip_index.class_to_idx
+
+    datasets: Dict[str, ArrayDataset] = {}
+    for split in splits:
+        entries = [e for e in lip_index.by_split(split) if e.key in cue_map]
+        if not entries:
+            raise RuntimeError(f"No aligned cue+video samples for split '{split}'")
+        lips = load_lip_sequences([e.path for e in entries])
+        cues = embed_cached([cue_map[e.key].description for e in entries],
+                            model=embed_model, cache_dir=cache_dir)
+        labels = np.asarray([class_to_idx[e.word] for e in entries], np.int32)
+        datasets[split] = ArrayDataset(inputs=(cues, lips), labels=labels)
+    return datasets, classes
+
+
+def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
+    if isinstance(config, str):
+        from multimodal_lipread_tpu.config import load_config
+
+        config = load_config(config)
+    cfg = config
+
+    lip_root = cfg.get("dataset.lip_regions_root") or resolve_lip_root(cfg)
+    datasets, classes = load_cue_video_datasets(
+        cfg.get("dataset.cue_root") or cfg.get("dataset.root_dir"),
+        lip_root,
+        cue_mode=cfg.get("dataset.cue_mode", "emotion"),
+        embed_model=cfg.get("dataset.embed_model", "mpnet"),
+        cache_dir=cfg.get("dataset.cache_dir"),
+    )
+    num_classes = cfg.get("dataset.num_classes", len(classes))
+    model_name = cfg.get("model.name", "middle_fusion_mobile")
+
+    metrics_dir, ckpt_dir = default_dirs(cfg, "cues_video")
+    trainer = Trainer(
+        get_cues_video_model(model_name, num_classes),
+        TrainerConfig(
+            model_name=model_name,
+            num_classes=num_classes,
+            batch_size=cfg.get("training.batch_size", 8),
+            epochs=cfg.get("training.epochs", 10),
+            learning_rate=cfg.get("training.learning_rate", 1e-4),
+            weight_decay=cfg.get("training.weight_decay", 1e-5),
+            scheduler_mode="min",  # reference: cues_video plateau-min scheduler
+            scheduler_factor=0.5,
+            scheduler_patience=5,
+            seed=cfg.get("training.seed", 0),
+            metrics_dir=metrics_dir,
+            checkpoints_dir=ckpt_dir,
+            test_every_epoch=True,
+        ),
+    )
+    return trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
+
+
+if __name__ == "__main__":
+    cfg = parse_cli()
+    main(cfg, resume=bool(cfg.get("_cli.resume", False)))

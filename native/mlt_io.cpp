@@ -1,0 +1,194 @@
+// mlt_io: native host-side data loading for multimodal_lipread_tpu.
+//
+// The reference delegates all host decode work to third-party native code
+// (pydub/ffmpeg + torchaudio C++ for audio, numpy/OpenCV for the .npy lip
+// store — SURVEY.md §2.9). This library is the framework's first-party
+// equivalent for the two hot host paths that feed the TPU:
+//
+//   1. batched PCM WAV decode → fixed-length float32 waveforms
+//      (pad/truncate to target_samples, mono downmix, int16-range floats,
+//      matching audio/utils/audio_processor.py:23-46 semantics)
+//   2. batched .npy uint8 lip-region loads → float32 (optionally scaled by
+//      1/255), matching video/data_utils/dataset_loader.py:84-94
+//
+// Both are embarrassingly parallel file reads; a std::thread pool saturates
+// storage while Python stays single-threaded. Exposed as a C ABI for ctypes.
+//
+// Error contract: functions return 0 on success, or (1 + index) of the first
+// file that failed. Outputs for failed files are zero-filled.
+
+#include <atomic>
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <string>
+#include <thread>
+#include <vector>
+
+namespace {
+
+struct Result {
+    std::atomic<long long> first_error{-1};
+    void fail(long long idx) {
+        long long expected = -1;
+        first_error.compare_exchange_strong(expected, idx);
+    }
+};
+
+// ---------------------------------------------------------------- WAV decode
+
+bool read_file(const char* path, std::vector<uint8_t>& buf) {
+    FILE* f = std::fopen(path, "rb");
+    if (!f) return false;
+    std::fseek(f, 0, SEEK_END);
+    long size = std::ftell(f);
+    std::fseek(f, 0, SEEK_SET);
+    if (size <= 0) { std::fclose(f); return false; }
+    buf.resize(static_cast<size_t>(size));
+    size_t got = std::fread(buf.data(), 1, buf.size(), f);
+    std::fclose(f);
+    return got == buf.size();
+}
+
+inline uint32_t rd_u32(const uint8_t* p) {
+    return p[0] | (p[1] << 8) | (p[2] << 16) | (uint32_t(p[3]) << 24);
+}
+inline uint16_t rd_u16(const uint8_t* p) { return p[0] | (p[1] << 8); }
+
+// Decode a PCM16 RIFF/WAVE file into float32 (int16-range), mono-downmixed,
+// padded/truncated to target_samples. Returns false on parse failure.
+bool decode_wav(const char* path, int target_samples, float* out) {
+    std::vector<uint8_t> buf;
+    if (!read_file(path, buf) || buf.size() < 44) return false;
+    if (std::memcmp(buf.data(), "RIFF", 4) != 0 || std::memcmp(buf.data() + 8, "WAVE", 4) != 0)
+        return false;
+
+    uint16_t channels = 0, bits = 0, format = 0;
+    const uint8_t* data = nullptr;
+    uint32_t data_len = 0;
+
+    size_t pos = 12;
+    while (pos + 8 <= buf.size()) {
+        const uint8_t* chunk = buf.data() + pos;
+        uint32_t chunk_len = rd_u32(chunk + 4);
+        if (std::memcmp(chunk, "fmt ", 4) == 0 && pos + 8 + 16 <= buf.size()) {
+            format = rd_u16(chunk + 8);
+            channels = rd_u16(chunk + 10);
+            bits = rd_u16(chunk + 22);
+        } else if (std::memcmp(chunk, "data", 4) == 0) {
+            data = chunk + 8;
+            data_len = chunk_len;
+            if (pos + 8 + data_len > buf.size()) data_len = uint32_t(buf.size() - pos - 8);
+            break;
+        }
+        pos += 8 + chunk_len + (chunk_len & 1);  // chunks are word-aligned
+    }
+    if (!data || format != 1 || bits != 16 || channels == 0) return false;
+
+    const int16_t* samples = reinterpret_cast<const int16_t*>(data);
+    long long n_frames = static_cast<long long>(data_len) / (2 * channels);
+    long long n = n_frames < target_samples ? n_frames : target_samples;
+
+    if (channels == 1) {
+        for (long long i = 0; i < n; ++i) out[i] = static_cast<float>(samples[i]);
+    } else {
+        for (long long i = 0; i < n; ++i) {
+            long long acc = 0;
+            for (int c = 0; c < channels; ++c) acc += samples[i * channels + c];
+            out[i] = static_cast<float>(acc) / channels;
+        }
+    }
+    for (long long i = n; i < target_samples; ++i) out[i] = 0.0f;
+    return true;
+}
+
+// ---------------------------------------------------------------- NPY loader
+
+// Minimal .npy v1/v2 parser for C-contiguous uint8 arrays.
+bool load_npy_u8(const char* path, long long expected_elems, float scale, float* out) {
+    std::vector<uint8_t> buf;
+    if (!read_file(path, buf) || buf.size() < 10) return false;
+    static const uint8_t magic[6] = {0x93, 'N', 'U', 'M', 'P', 'Y'};
+    if (std::memcmp(buf.data(), magic, 6) != 0) return false;
+    uint8_t major = buf[6];
+    size_t header_len, header_off;
+    if (major == 1) {
+        header_len = rd_u16(buf.data() + 8);
+        header_off = 10;
+    } else {
+        header_len = rd_u32(buf.data() + 8);
+        header_off = 12;
+    }
+    if (header_off + header_len > buf.size()) return false;
+    std::string header(reinterpret_cast<char*>(buf.data() + header_off), header_len);
+    if (header.find("'|u1'") == std::string::npos && header.find("'uint8'") == std::string::npos)
+        return false;
+    if (header.find("'fortran_order': True") != std::string::npos) return false;
+
+    size_t data_off = header_off + header_len;
+    long long available = static_cast<long long>(buf.size() - data_off);
+    if (available < expected_elems) return false;
+
+    const uint8_t* p = buf.data() + data_off;
+    for (long long i = 0; i < expected_elems; ++i) out[i] = p[i] * scale;
+    return true;
+}
+
+// ---------------------------------------------------------------- thread pool
+
+template <typename Fn>
+void parallel_for(long long n, int n_threads, Fn fn) {
+    if (n_threads <= 1 || n <= 1) {
+        for (long long i = 0; i < n; ++i) fn(i);
+        return;
+    }
+    std::atomic<long long> next{0};
+    auto worker = [&]() {
+        while (true) {
+            long long i = next.fetch_add(1);
+            if (i >= n) break;
+            fn(i);
+        }
+    };
+    int k = n_threads < n ? n_threads : static_cast<int>(n);
+    std::vector<std::thread> threads;
+    threads.reserve(k);
+    for (int t = 0; t < k; ++t) threads.emplace_back(worker);
+    for (auto& th : threads) th.join();
+}
+
+}  // namespace
+
+extern "C" {
+
+// Decode n WAV files into out[n * target_samples] float32, in parallel.
+long long mlt_load_wav_batch(const char** paths, long long n, int target_samples,
+                             float* out, int n_threads) {
+    Result res;
+    parallel_for(n, n_threads, [&](long long i) {
+        float* dst = out + i * target_samples;
+        if (!decode_wav(paths[i], target_samples, dst)) {
+            std::memset(dst, 0, sizeof(float) * target_samples);
+            res.fail(i);
+        }
+    });
+    return res.first_error.load() + 1;  // 0 = success
+}
+
+// Load n uint8 .npy files of expected_elems each into out, scaled, in parallel.
+long long mlt_load_npy_u8_batch(const char** paths, long long n, long long expected_elems,
+                                float scale, float* out, int n_threads) {
+    Result res;
+    parallel_for(n, n_threads, [&](long long i) {
+        float* dst = out + i * expected_elems;
+        if (!load_npy_u8(paths[i], expected_elems, scale, dst)) {
+            std::memset(dst, 0, sizeof(float) * expected_elems);
+            res.fail(i);
+        }
+    });
+    return res.first_error.load() + 1;
+}
+
+int mlt_io_version() { return 1; }
+
+}  // extern "C"

@@ -1,0 +1,99 @@
+"""Shape tests for the audio_cues, cues_video, and triple-fusion zoos."""
+
+import jax
+import numpy as np
+import pytest
+
+from multimodal_lipread_tpu.models.audio_cues import (
+    AUDIO_CUES_MODEL_NAMES,
+    get_audio_cues_model,
+)
+from multimodal_lipread_tpu.models.audio_cues_video import (
+    TRIPLE_MODEL_NAMES,
+    get_triple_model,
+)
+from multimodal_lipread_tpu.models.cues_video import (
+    CUES_VIDEO_MODEL_NAMES,
+    get_cues_video_model,
+)
+
+BATCH, T = 2, 3
+NUM_CLASSES = 4
+CUE_DIM = 768
+
+
+def _mel():
+    return np.random.default_rng(0).standard_normal((BATCH, 80, 117)).astype(np.float32)
+
+
+def _cue():
+    return np.random.default_rng(1).standard_normal((BATCH, CUE_DIM)).astype(np.float32)
+
+
+def _video():
+    return np.random.default_rng(2).random((BATCH, T, 44, 44, 3), np.float32)
+
+
+def _check(model, *inputs):
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, *inputs, train=False)
+    out = model.apply(variables, *inputs, train=False)
+    assert out.shape == (BATCH, NUM_CLASSES)
+    assert np.all(np.isfinite(np.asarray(out)))
+    return variables
+
+
+@pytest.mark.parametrize("name", AUDIO_CUES_MODEL_NAMES)
+def test_audio_cues_model_shapes(name):
+    _check(get_audio_cues_model(name, NUM_CLASSES), _mel(), _cue())
+
+
+@pytest.mark.parametrize("name", CUES_VIDEO_MODEL_NAMES)
+def test_cues_video_model_shapes(name):
+    _check(get_cues_video_model(name, NUM_CLASSES), _cue(), _video())
+
+
+@pytest.mark.parametrize("name", TRIPLE_MODEL_NAMES)
+def test_triple_model_shapes(name):
+    _check(get_triple_model(name, NUM_CLASSES), _mel(), _cue(), _video())
+
+
+def test_modality_attention_weights_sum_to_one():
+    from multimodal_lipread_tpu.models.audio_cues_video import ModalityAttentionFusion
+
+    m = ModalityAttentionFusion()
+    feats = [np.ones((BATCH, 8), np.float32) * i for i in range(3)]
+    variables = m.init(jax.random.PRNGKey(0), feats)
+    fused, weights = m.apply(variables, feats)
+    assert fused.shape == (BATCH, 8)
+    assert weights.shape == (BATCH, 3)
+    np.testing.assert_allclose(np.asarray(weights).sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_frozen_encoders_stop_gradients():
+    """Early triple fusion freezes audio+video; their encoder params get zero grads."""
+    import jax.numpy as jnp
+    import optax
+
+    model = get_triple_model("early_fusion_mobile", NUM_CLASSES)
+    mel, cue, video = _mel(), _cue(), _video()
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, mel, cue, video, train=False)
+
+    def loss_fn(params):
+        logits = model.apply(
+            {"params": params, "batch_stats": variables.get("batch_stats", {})},
+            mel, cue, video, train=False,
+        )
+        return jnp.mean(optax.softmax_cross_entropy_with_integer_labels(
+            logits, jnp.zeros((BATCH,), jnp.int32)))
+
+    grads = jax.grad(loss_fn)(variables["params"])
+    audio_grad = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), grads["audio"], 0.0
+    )
+    proj_grad = jax.tree_util.tree_reduce(
+        lambda a, x: a + float(jnp.abs(x).sum()), grads["ap"], 0.0
+    )
+    assert audio_grad == 0.0  # frozen
+    assert proj_grad > 0.0  # projection still trains
