@@ -250,6 +250,8 @@ class SimpleMLP(nn.Module):
 #   sentence: 'minilm' | 'mpnet' | 'ensemble'; token: 'mpnet_tok' | 'distilbert_tok';
 #   'tfidf' for the linear baseline.
 CUE_MODEL_SPECS = {
+    "bert": (None, "bert_tok"),       # BertClassifier; built in get_cue_model
+    "bert_lite": (None, "bert_tok"),  # bf16 variant (reference bert_lite.py intent)
     "dense_nn": (DenseClassifier, "minilm"),
     "minilm_lstm": (LSTMClassifier, "mpnet"),
     "minilm_lstm_attn": (AttentionLSTMClassifier, "mpnet"),
@@ -267,6 +269,11 @@ CUE_MODEL_NAMES = tuple(CUE_MODEL_SPECS)
 def get_cue_model(name: str, num_classes: int, dtype: Any = jnp.float32) -> nn.Module:
     if name not in CUE_MODEL_SPECS:
         raise ValueError(f"Unknown cue model: {name}")
+    if name in ("bert", "bert_lite"):
+        from multimodal_lipread_tpu.models.bert import BertClassifier, bert_tiny_config
+
+        bert_dtype = jnp.bfloat16 if name == "bert_lite" else dtype
+        return BertClassifier(bert_tiny_config(), num_classes, dtype=bert_dtype)
     cls, _kind = CUE_MODEL_SPECS[name]
     return cls(num_classes, dtype=dtype)
 

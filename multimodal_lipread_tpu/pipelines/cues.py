@@ -44,6 +44,10 @@ def _featurize(records: List[CueRecord], kind: str, cache_dir: str | None) -> np
 
         vec = TfidfVectorizer(max_features=5000, ngram_range=(1, 2), stop_words="english")
         return vec.fit_transform(descs).toarray().astype(np.float32)
+    if kind == "bert_tok":
+        from multimodal_lipread_tpu.models.bert import tokenize_texts
+
+        return tokenize_texts(descs)
     if kind.endswith("_tok"):
         return embed_cached(descs, model=kind[:-4], cache_dir=cache_dir, token_level=True)
     return embed_cached(descs, model=kind, cache_dir=cache_dir)

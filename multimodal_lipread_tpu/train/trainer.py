@@ -89,6 +89,7 @@ class TrainerConfig:
     rolling_checkpoint: bool = False
     class_weights: Optional[np.ndarray] = None
     half_precision: bool = False  # cast inputs to bf16 before the model
+    profile_dir: Optional[str] = None  # write a jax.profiler trace of epoch 1
 
 
 @dataclasses.dataclass
@@ -331,7 +332,12 @@ class Trainer:
 
         for epoch in range(start_epoch, cfg.epochs + 1):
             t0 = time.time()
+            tracing = cfg.profile_dir is not None and epoch == start_epoch
+            if tracing:
+                jax.profiler.start_trace(cfg.profile_dir)
             tr = self.train_epoch(train_ds, data_rng, base_rng)
+            if tracing:
+                jax.profiler.stop_trace()
             va = self.evaluate(val_ds)
             metric = va.loss if cfg.scheduler_mode == "min" else va.acc
             new_lr = self.scheduler.step(metric)
@@ -351,6 +357,7 @@ class Trainer:
                     "val_loss": va.loss, "val_acc": va.acc,
                     **({"test_loss": te.loss, "test_acc": te.acc} if te else {}),
                     "lr": new_lr, "seconds": time.time() - t0,
+                    "clips_per_sec": len(train_ds) / max(time.time() - t0, 1e-9),
                 }
             )
             if progress:

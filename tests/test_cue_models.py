@@ -27,6 +27,10 @@ def _input_for(kind: str) -> np.ndarray:
     rng = np.random.default_rng(0)
     if kind == "tfidf":
         return rng.random((BATCH, 5000), np.float32)
+    if kind == "bert_tok":
+        ids = rng.integers(3, 100, size=(BATCH, 32)).astype(np.int32)
+        ids[:, -4:] = 0  # padding tail exercises the attention mask
+        return ids
     if kind.endswith("_tok"):
         return rng.standard_normal((BATCH, 32, EMBED_DIMS[kind[:-4]])).astype(np.float32)
     return rng.standard_normal((BATCH, EMBED_DIMS[kind])).astype(np.float32)
