@@ -136,14 +136,20 @@ class SentenceTransformerEmbedder:
     """sentence-transformers backend (reference models); raises if weights
     are not locally available."""
 
-    def __init__(self, model: str = "mpnet"):
+    def __init__(self, model: str = "mpnet", local_files_only: bool = True):
         from sentence_transformers import SentenceTransformer  # noqa: deferred
+
+        # local_files_only by default: in zero-egress environments a hub
+        # download attempt hangs through minutes of network retries; users
+        # with connectivity pre-download or pass local_files_only=False.
+        def load(name):
+            return SentenceTransformer(name, local_files_only=local_files_only)
 
         self.model_name = model
         if model == "ensemble":
-            self._models = [SentenceTransformer(_ST_NAMES["minilm"]), SentenceTransformer(_ST_NAMES["mpnet"])]
+            self._models = [load(_ST_NAMES["minilm"]), load(_ST_NAMES["mpnet"])]
         else:
-            self._models = [SentenceTransformer(_ST_NAMES[model])]
+            self._models = [load(_ST_NAMES[model])]
         self.dim = EMBED_DIMS[model]
 
     def encode(self, sentences: Sequence[str]) -> np.ndarray:
@@ -169,8 +175,8 @@ def get_token_embedder(model: str = "mpnet", max_length: int = 32, allow_fallbac
         from transformers import AutoModel, AutoTokenizer
 
         name = _TOKEN_MODEL_NAMES[model]
-        tokenizer = AutoTokenizer.from_pretrained(name)
-        hf_model = AutoModel.from_pretrained(name)
+        tokenizer = AutoTokenizer.from_pretrained(name, local_files_only=True)
+        hf_model = AutoModel.from_pretrained(name, local_files_only=True)
         hf_model.eval()
 
         class _HF:

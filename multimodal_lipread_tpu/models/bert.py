@@ -152,7 +152,7 @@ def tokenize_texts(
         try:
             from transformers import AutoTokenizer
 
-            tok = AutoTokenizer.from_pretrained(hf_model)
+            tok = AutoTokenizer.from_pretrained(hf_model, local_files_only=True)
             enc = tok(list(texts), truncation=True, padding="max_length",
                       max_length=max_length, return_tensors="np")
             return enc["input_ids"].astype(np.int32)

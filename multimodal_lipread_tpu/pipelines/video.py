@@ -72,6 +72,9 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             checkpoints_dir=ckpt_dir,
             test_every_epoch=True,
             rolling_checkpoint=True,  # reference: video/train.py:252-262
+            # the reference's augmentation YAML block is dead config
+            # (visual_config.yaml:33-46); here it actually works, default off
+            mixup_alpha=cfg.get("augmentation.mixup_alpha", 0.0),
         ),
     )
     result = trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)

@@ -90,6 +90,7 @@ class TrainerConfig:
     class_weights: Optional[np.ndarray] = None
     half_precision: bool = False  # cast inputs to bf16 before the model
     profile_dir: Optional[str] = None  # write a jax.profiler trace of epoch 1
+    mixup_alpha: float = 0.0  # >0 enables batch mixup (full batches only)
 
 
 @dataclasses.dataclass
@@ -187,18 +188,37 @@ class Trainer:
             logits = model.apply(variables, *inputs, train=False, **extra)
             return logits, batch_stats
 
+        mixup_alpha = self.config.mixup_alpha
+        num_classes = self.config.num_classes
+
         def train_step(state, inputs, labels, weights, rng):
             inputs = tuple(cast(x) for x in inputs)
             step_rng = jax.random.fold_in(rng, state["step"])
             w = per_example_weight(labels, weights)
             denom = jnp.maximum(jnp.sum(w), 1e-9)
 
+            soft_labels = None
+            if mixup_alpha > 0:
+                from multimodal_lipread_tpu.data.augment import mixup
+
+                mix_rng = jax.random.fold_in(step_rng, 1)
+                onehot = jax.nn.one_hot(labels, num_classes)
+                mixed_inputs, mixed_onehot = mixup(mix_rng, inputs, onehot, mixup_alpha)
+                # only mix full batches: a padded (weight-0) row mixed into a
+                # real row would corrupt its inputs and label
+                full = jnp.sum(weights) == weights.shape[0]
+                inputs = tuple(jnp.where(full, m, x) for m, x in zip(mixed_inputs, inputs))
+                soft_labels = jnp.where(full, mixed_onehot, onehot)
+
             def loss_fn(params):
                 logits, new_bs = forward(
                     params, state["batch_stats"], inputs, True, {"dropout": step_rng}
                 )
                 logits = logits.astype(jnp.float32)
-                ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
+                if soft_labels is not None:
+                    ce = optax.softmax_cross_entropy(logits, soft_labels)
+                else:
+                    ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
                 loss = jnp.sum(ce * w) / denom
                 return loss, (logits, new_bs)
 

@@ -83,6 +83,31 @@ def plot_cue_comparison(
     return out_path
 
 
+def plot_lip_sequence_grid(
+    lip_sequence, out_path: str, rows: int = 3, cols: int = 10
+) -> str:
+    """Save a rows×cols frame grid PNG of a (T, H, W, 3) lip sequence —
+    the eyeball check the reference ships as
+    video/data_utils/test_visual_preprocessing.py:15-71."""
+    import numpy as np
+
+    seq = np.asarray(lip_sequence)
+    n = min(rows * cols, seq.shape[0])
+    fig, axes = plt.subplots(rows, cols, figsize=(cols * 1.2, rows * 1.4))
+    for i, ax in enumerate(np.asarray(axes).ravel()):
+        ax.axis("off")
+        if i < n:
+            frame = seq[i]
+            if frame.dtype != "uint8":
+                frame = (np.clip(frame, 0, 1) * 255).astype("uint8")
+            ax.imshow(frame)
+            ax.set_title(str(i), fontsize=6)
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    fig.savefig(out_path, dpi=120, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
 def main():
     import argparse
 

@@ -31,7 +31,9 @@ def test_cues_video_pipeline(glips_root, tmp_path):
             "dataset": {"root_dir": glips_root, "cue_root": glips_root,
                         "cue_mode": "emotion", "embed_model": "mpnet",
                         "cache_dir": str(tmp_path / "cache"), "num_classes": 4},
-            "model": {"name": "early_fusion_resnet"},
+            # frozen-backbone variant: conv backward is stop_gradient'd, which
+            # keeps the CPU compile of the 29-frame encoder tractable in CI
+            "model": {"name": "early_fusion_mobile"},
             "training": {"batch_size": 8, "learning_rate": 1e-3, "weight_decay": 1e-5,
                          "epochs": 1, "seed": 0},
             "output": {"base_dir": str(tmp_path / "cv")},
@@ -49,7 +51,9 @@ def test_triple_pipeline(glips_root, tmp_path):
             "dataset": {"root_dir": glips_root, "cue_root": glips_root, "input_size": 117,
                         "cue_mode": "emotion", "embed_model": "mpnet",
                         "cache_dir": str(tmp_path / "cache"), "num_classes": 4},
-            "model": {"name": "late_fusion_resnet"},
+            # early_fusion_mobile freezes both heavy encoders (reference
+            # semantics) → no conv backward → tractable CPU compile
+            "model": {"name": "early_fusion_mobile"},
             "training": {"batch_size": 8, "learning_rate": 1e-3, "weight_decay": 1e-5,
                          "epochs": 1, "seed": 0},
             "output": {"base_dir": str(tmp_path / "acv")},
@@ -59,5 +63,5 @@ def test_triple_pipeline(glips_root, tmp_path):
     assert "final_test_acc" in result
     # rolling + best checkpoints, like the reference triple trainer
     ckpts = os.listdir(tmp_path / "acv" / "models_trained")
-    assert "late_fusion_resnet_best.msgpack" in ckpts
-    assert "late_fusion_resnet_checkpoint.msgpack" in ckpts
+    assert "early_fusion_mobile_best.msgpack" in ckpts
+    assert "early_fusion_mobile_checkpoint.msgpack" in ckpts

@@ -172,3 +172,11 @@ def test_plot_logs(tmp_path):
     bar = plot_cue_comparison({"dense": [54.4, 40.6], "attn": [65.0, 39.4]},
                               str(tmp_path / "plots" / "cues_compare.png"))
     assert os.path.exists(bar)
+
+
+def test_plot_lip_sequence_grid(tmp_path):
+    from multimodal_lipread_tpu.utils.visualize import plot_lip_sequence_grid
+
+    seq = np.random.default_rng(0).integers(0, 255, (29, 44, 44, 3), dtype=np.uint8)
+    out = plot_lip_sequence_grid(seq, str(tmp_path / "grid.png"))
+    assert os.path.exists(out)

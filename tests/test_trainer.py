@@ -142,3 +142,37 @@ def test_class_weighted_loss_runs(tmp_path):
     )
     result = trainer.fit(ds, ds, progress=None)
     assert np.isfinite(result["history"][0]["train_loss"])
+
+
+def test_mixup_training_runs(tmp_path):
+    from flax import linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            return nn.Dense(4)(x.reshape(x.shape[0], -1))
+
+    ds = _tiny_dataset(32)
+    trainer = Trainer(
+        Tiny(),
+        TrainerConfig(
+            model_name="tinymix", num_classes=4, batch_size=16, epochs=2,
+            learning_rate=1e-2, mixup_alpha=0.4, test_every_epoch=False,
+            metrics_dir=str(tmp_path / "m"), checkpoints_dir=str(tmp_path / "c"),
+        ),
+    )
+    result = trainer.fit(ds, ds, progress=None)
+    assert np.isfinite(result["history"][-1]["train_loss"])
+
+
+def test_mixup_function_soft_labels():
+    import jax
+    from multimodal_lipread_tpu.data.augment import mixup
+
+    rng = jax.random.PRNGKey(0)
+    x = np.eye(4, dtype=np.float32)
+    onehot = np.eye(4, dtype=np.float32)
+    (mx,), ml = mixup(rng, (x,), onehot, alpha=0.5)
+    np.testing.assert_allclose(np.asarray(ml).sum(axis=1), 1.0, rtol=1e-5)
+    # inputs mix with the same lambda as labels
+    np.testing.assert_allclose(np.asarray(mx).sum(axis=1), 1.0, rtol=1e-5)
