@@ -22,7 +22,7 @@ Landmark backends (auto-selected, best available first):
 from __future__ import annotations
 
 import os
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import numpy as np
 

@@ -9,7 +9,7 @@ convertible 1:1 from torchvision state dicts
 
 from __future__ import annotations
 
-from typing import Any, Sequence
+from typing import Any
 
 import jax.numpy as jnp
 from flax import linen as nn

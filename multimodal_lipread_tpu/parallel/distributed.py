@@ -1,0 +1,43 @@
+"""Multi-host initialization helper.
+
+The reference is single-process (SURVEY.md §2.10). For multi-host TPU slices
+this framework uses the standard JAX recipe: call
+``maybe_initialize_distributed()`` once at process start; on TPU pods the
+coordinator/process settings come from the environment automatically, and the
+same jitted DP program then spans all hosts (ICI within a slice, DCN across
+slices). Per-host input sharding comes from the Grain loaders
+(data/grain_loader.py shard_index/shard_count).
+
+No-ops on single-process runs, so every entry point can call it
+unconditionally.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def maybe_initialize_distributed() -> bool:
+    """Initialize jax.distributed when a multi-process env is detected.
+
+    Returns True when distributed mode was initialized. Detection: explicit
+    JAX_COORDINATOR_ADDRESS / standard TPU-pod env vars, or NUM_PROCESSES>1.
+    """
+    import jax
+
+    if jax.process_count() > 1:  # already initialized
+        return True
+    coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
+    num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "0") or 0)
+    if coordinator and num_processes > 1:
+        jax.distributed.initialize(
+            coordinator_address=coordinator,
+            num_processes=num_processes,
+            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+        )
+        return True
+    if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
+        # TPU pod metadata present: let jax auto-detect everything
+        jax.distributed.initialize()
+        return True
+    return False

@@ -14,7 +14,7 @@ shuffled val/test loaders (audio/train.py:113-114) don't change metrics
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional
+from typing import Any, Dict
 
 from multimodal_lipread_tpu.config import Config
 from multimodal_lipread_tpu.models.audio import get_audio_model
@@ -44,7 +44,13 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
         f"config says {num_classes} classes but found {len(index.classes)}: {index.classes}"
     )
 
-    model = get_audio_model(model_name, num_classes, input_size=input_size, version=version)
+    # model.use_batchnorm=False reproduces the reference's models_without_reg
+    # ablation copies (reference: audio/models_without_reg/) without
+    # duplicating files
+    model = get_audio_model(
+        model_name, num_classes, input_size=input_size, version=version,
+        use_batchnorm=cfg.get("model.use_batchnorm", True),
+    )
     metrics_dir, ckpt_dir = default_dirs(cfg, "audio")
     trainer = Trainer(
         model,

@@ -10,7 +10,6 @@ Adam (lr only, no weight decay, no LR scheduler) and best-val checkpointing.
 
 from __future__ import annotations
 
-import os
 from typing import Any, Dict, Sequence, Tuple
 
 import numpy as np

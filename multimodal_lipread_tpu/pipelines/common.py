@@ -9,9 +9,8 @@ from __future__ import annotations
 
 import argparse
 import os
-from typing import Callable, Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Sequence, Tuple
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -23,7 +22,7 @@ from multimodal_lipread_tpu.data.glips import (
     GlipsIndex,
     scan_glips,
 )
-from multimodal_lipread_tpu.ops.logmel import NUM_FRAMES, log_mel
+from multimodal_lipread_tpu.ops.logmel import log_mel
 from multimodal_lipread_tpu.train.trainer import ArrayDataset
 
 MEL_BINS = 80
