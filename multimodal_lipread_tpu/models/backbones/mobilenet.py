@@ -39,6 +39,7 @@ class _ConvBNAct(nn.Module):
     strides: int = 1
     groups: int = 1
     act: str = "relu6"  # relu6 | hardswish | none
+    bn_eps: float = 1e-5  # torchvision: 1e-5 for V2, 1e-3 for V3
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -48,7 +49,7 @@ class _ConvBNAct(nn.Module):
             self.features, (self.kernel, self.kernel), strides=self.strides, padding=pad,
             feature_group_count=self.groups, use_bias=False, dtype=self.dtype, name="conv",
         )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-3,
+        x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=self.bn_eps,
                          dtype=self.dtype, name="bn")(x)
         if self.act == "relu6":
             x = _relu6(x)
@@ -138,12 +139,15 @@ class InvertedResidualV3(nn.Module):
         in_ch = x.shape[-1]
         y = x
         if self.expanded != in_ch:
-            y = _ConvBNAct(self.expanded, kernel=1, act=self.act, dtype=self.dtype, name="expand")(y, train)
+            y = _ConvBNAct(self.expanded, kernel=1, act=self.act, bn_eps=1e-3,
+                           dtype=self.dtype, name="expand")(y, train)
         y = _ConvBNAct(self.expanded, kernel=self.kernel, strides=self.strides,
-                       groups=self.expanded, act=self.act, dtype=self.dtype, name="depthwise")(y, train)
+                       groups=self.expanded, act=self.act, bn_eps=1e-3,
+                       dtype=self.dtype, name="depthwise")(y, train)
         if self.use_se:
             y = _SqueezeExcite(_make_divisible(self.expanded // 4), dtype=self.dtype, name="se")(y)
-        y = _ConvBNAct(self.features, kernel=1, act="none", dtype=self.dtype, name="project")(y, train)
+        y = _ConvBNAct(self.features, kernel=1, act="none", bn_eps=1e-3,
+                       dtype=self.dtype, name="project")(y, train)
         if self.strides == 1 and in_ch == self.features:
             y = y + x
         return y
@@ -171,10 +175,12 @@ class MobileNetV3Small(nn.Module):
             (5, 576, 96, True, "hardswish", 1),
             (5, 576, 96, True, "hardswish", 1),
         ]
-        x = _ConvBNAct(16, kernel=3, strides=2, act="hardswish", dtype=self.dtype, name="stem")(x, train)
+        x = _ConvBNAct(16, kernel=3, strides=2, act="hardswish", bn_eps=1e-3,
+                       dtype=self.dtype, name="stem")(x, train)
         for i, (k, e, c, se, act, s) in enumerate(settings):
             x = InvertedResidualV3(k, e, c, se, act, s, dtype=self.dtype, name=f"block{i}")(x, train)
-        x = _ConvBNAct(576, kernel=1, act="hardswish", dtype=self.dtype, name="head")(x, train)
+        x = _ConvBNAct(576, kernel=1, act="hardswish", bn_eps=1e-3,
+                       dtype=self.dtype, name="head")(x, train)
         if pool:
             x = jnp.mean(x, axis=(1, 2))
         return x

@@ -19,7 +19,7 @@ State dicts may be passed as dict[str, np.ndarray] or as a .pth path
 
 from __future__ import annotations
 
-from typing import Any, Dict, Tuple
+from typing import Any, Dict, Sequence, Tuple
 
 import numpy as np
 
@@ -119,6 +119,135 @@ def convert_vgg_bn(src: Any, version: int = 11) -> Dict[str, Any]:
     return {"params": params, "batch_stats": stats}
 
 
+def _convbn(sd, conv_key, bn_key) -> Tuple[dict, dict]:
+    """torchvision ConvBNActivation pair → _ConvBNAct {conv, bn} subtree."""
+    params = {"conv": _conv(sd, conv_key)}
+    bn_p, bn_s = _bn(sd, bn_key)
+    params["bn"] = bn_p
+    return params, {"bn": bn_s}
+
+
+_MBV2_BLOCKS = [  # (expand_ratio) per torchvision features.{1..17}
+    1, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6, 6,
+]
+
+
+def convert_mobilenet_v2(src: Any) -> Dict[str, Any]:
+    """torchvision mobilenet_v2 state_dict → backbones.MobileNetV2 tree.
+
+    torchvision layout: features.0 = stem ConvBNAct; features.{1..17} =
+    InvertedResidual (.conv sequential: [expand,] depthwise, project);
+    features.18 = head ConvBNAct. Depthwise conv weights transpose the same
+    way as dense convs ((O,1,k,k) → (k,k,1,O) with feature_group_count=O).
+    """
+    sd = load_state_dict(src)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["stem"], stats["stem"] = _convbn(sd, "features.0.0", "features.0.1")
+    for idx, t in enumerate(_MBV2_BLOCKS):
+        f = f"features.{idx + 1}.conv"
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        if t == 1:
+            pairs = [("depthwise", f"{f}.0.0", f"{f}.0.1"), ("project", f"{f}.1", f"{f}.2")]
+        else:
+            pairs = [
+                ("expand", f"{f}.0.0", f"{f}.0.1"),
+                ("depthwise", f"{f}.1.0", f"{f}.1.1"),
+                ("project", f"{f}.2", f"{f}.3"),
+            ]
+        for name, ck, bk in pairs:
+            bp[name], bs[name] = _convbn(sd, ck, bk)
+        params[f"block{idx}"] = bp
+        stats[f"block{idx}"] = bs
+    params["head"], stats["head"] = _convbn(sd, "features.18.0", "features.18.1")
+    return {"params": params, "batch_stats": stats}
+
+
+# torchvision mobilenet_v3_small: (has_expand, has_se) per features.{1..11}
+_MBV3S_BLOCKS = [
+    (False, True), (True, False), (True, False), (True, True), (True, True),
+    (True, True), (True, True), (True, True), (True, True), (True, True),
+    (True, True),
+]
+
+
+def convert_mobilenet_v3_small(src: Any) -> Dict[str, Any]:
+    """torchvision mobilenet_v3_small state_dict → backbones.MobileNetV3Small.
+
+    torchvision block layout: .block.0 expand (absent in features.1),
+    then depthwise, optional SqueezeExcitation (fc1/fc2 convs), project —
+    all ConvBNActivation pairs (SE convs carry biases, no BN).
+    """
+    sd = load_state_dict(src)
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    params["stem"], stats["stem"] = _convbn(sd, "features.0.0", "features.0.1")
+    for idx, (has_expand, has_se) in enumerate(_MBV3S_BLOCKS):
+        f = f"features.{idx + 1}.block"
+        bp: Dict[str, Any] = {}
+        bs: Dict[str, Any] = {}
+        pos = 0
+        if has_expand:
+            bp["expand"], bs["expand"] = _convbn(sd, f"{f}.{pos}.0", f"{f}.{pos}.1")
+            pos += 1
+        bp["depthwise"], bs["depthwise"] = _convbn(sd, f"{f}.{pos}.0", f"{f}.{pos}.1")
+        pos += 1
+        if has_se:
+            bp["se"] = {
+                "fc1": {"kernel": np.transpose(sd[f"{f}.{pos}.fc1.weight"], (2, 3, 1, 0)),
+                        "bias": sd[f"{f}.{pos}.fc1.bias"]},
+                "fc2": {"kernel": np.transpose(sd[f"{f}.{pos}.fc2.weight"], (2, 3, 1, 0)),
+                        "bias": sd[f"{f}.{pos}.fc2.bias"]},
+            }
+            pos += 1
+        bp["project"], bs["project"] = _convbn(sd, f"{f}.{pos}.0", f"{f}.{pos}.1")
+        params[f"block{idx}"] = bp
+        stats[f"block{idx}"] = bs
+    params["head"], stats["head"] = _convbn(sd, "features.12.0", "features.12.1")
+    return {"params": params, "batch_stats": stats}
+
+
+def _bn_wrapped(sd, key) -> Tuple[dict, dict]:
+    """BN inside a _BN wrapper module (inner name BatchNorm_0)."""
+    p, s = _bn(sd, key)
+    return {"BatchNorm_0": p}, {"BatchNorm_0": s}
+
+
+def convert_shufflenet_v2(src: Any, width: float = 1.0) -> Dict[str, Any]:
+    """torchvision shufflenet_v2_x{0_5,1_0} state_dict → backbones.ShuffleNetV2.
+
+    torchvision layout: conv1.{0,1}; stage{2,3,4}.{i}.branch1.{0..3} (stride-2
+    units only) and .branch2.{0,1,3,4,5,6}; conv5.{0,1}.
+    """
+    sd = load_state_dict(src)
+    repeats = (4, 8, 4)
+    params: Dict[str, Any] = {"conv1": _conv(sd, "conv1.0"), "conv5": _conv(sd, "conv5.0")}
+    stats: Dict[str, Any] = {}
+    params["conv1_bn"], stats["conv1_bn"] = _bn_wrapped(sd, "conv1.1")
+    params["conv5_bn"], stats["conv5_bn"] = _bn_wrapped(sd, "conv5.1")
+    for stage, reps in zip((2, 3, 4), repeats):
+        for i in range(reps):
+            t = f"stage{stage}.{i}"
+            f = f"stage{stage}_{i}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            if i == 0:  # stride-2 unit has branch1
+                bp["b1_dw"] = _conv(sd, f"{t}.branch1.0")
+                bp["b1_dw_bn"], bs["b1_dw_bn"] = _bn_wrapped(sd, f"{t}.branch1.1")
+                bp["b1_pw"] = _conv(sd, f"{t}.branch1.2")
+                bp["b1_pw_bn"], bs["b1_pw_bn"] = _bn_wrapped(sd, f"{t}.branch1.3")
+            bp["b2_pw1"] = _conv(sd, f"{t}.branch2.0")
+            bp["b2_pw1_bn"], bs["b2_pw1_bn"] = _bn_wrapped(sd, f"{t}.branch2.1")
+            bp["b2_dw"] = _conv(sd, f"{t}.branch2.3")
+            bp["b2_dw_bn"], bs["b2_dw_bn"] = _bn_wrapped(sd, f"{t}.branch2.4")
+            bp["b2_pw2"] = _conv(sd, f"{t}.branch2.5")
+            bp["b2_pw2_bn"], bs["b2_pw2_bn"] = _bn_wrapped(sd, f"{t}.branch2.6")
+            params[f] = bp
+            stats[f] = bs
+    return {"params": params, "batch_stats": stats}
+
+
 def convert_lstm(src: Any, num_layers: int = 1, bidirectional: bool = True) -> Dict[str, Any]:
     """torch.nn.LSTM state_dict → nn.recurrent.LSTM params tree.
 
@@ -139,6 +268,56 @@ def convert_lstm(src: Any, num_layers: int = 1, bidirectional: bool = True) -> D
                 "b_hh": sd[f"bias_hh_{tk}"],
             }
     return {"params": params}
+
+
+def graft_backbone(
+    model_variables: Dict[str, Any],
+    backbone_variables: Dict[str, Any],
+    submodule_path: Sequence[str],
+) -> Dict[str, Any]:
+    """Install converted backbone variables into a full model's tree.
+
+    ``submodule_path`` addresses the backbone module inside the model, e.g.
+    ``("resnet",)`` for AudioResNet or ``("video_encoder", "cnn")`` for the
+    fusion video encoders. Replaces the params/batch_stats subtrees at that
+    path (shapes validated against the random init they replace).
+    """
+    import copy
+
+    from flax.core import unfreeze
+
+    out = {k: copy.deepcopy(unfreeze(v)) for k, v in model_variables.items()}
+    for collection in ("params", "batch_stats"):
+        if collection not in backbone_variables:
+            continue
+        node = out[collection]
+        for key in submodule_path[:-1]:
+            node = node[key]
+        leaf = submodule_path[-1]
+        old = node[leaf]
+        new = backbone_variables[collection]
+        old_shapes = {k: np.shape(v) for k, v in _flatten(old).items()}
+        new_shapes = {k: np.shape(v) for k, v in _flatten(new).items()}
+        if old_shapes != new_shapes:
+            missing = set(old_shapes) ^ set(new_shapes)
+            mismatched = {k for k in (set(old_shapes) & set(new_shapes))
+                          if old_shapes[k] != new_shapes[k]}
+            raise ValueError(
+                f"backbone graft mismatch at {submodule_path} ({collection}): "
+                f"missing/extra={sorted(missing)[:5]} mismatched={sorted(mismatched)[:5]}"
+            )
+        node[leaf] = new
+    return out
+
+
+def _flatten(tree: Any, prefix: str = "") -> Dict[str, Any]:
+    out: Dict[str, Any] = {}
+    if isinstance(tree, dict) or hasattr(tree, "items"):
+        for k, v in tree.items():
+            out.update(_flatten(v, f"{prefix}/{k}"))
+    else:
+        out[prefix] = tree
+    return out
 
 
 def adapt_first_conv_to_1ch(variables: Dict[str, Any]) -> Dict[str, Any]:

@@ -147,3 +147,39 @@ def test_lstm_conversion_numerics():
                                   "l1_fwd": params["params"]["l1_fwd"],
                                   "l1_bwd": params["params"]["l1_bwd"]}}, jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(out), ref.numpy(), atol=1e-5, rtol=1e-4)
+
+
+def test_graft_backbone_into_audio_model():
+    """Converted ResNet18 weights graft into AudioResNet's resnet submodule."""
+    from multimodal_lipread_tpu.models.audio import AudioResNet
+    from multimodal_lipread_tpu.utils.torch_import import graft_backbone
+
+    tmodel = _TorchResNet18().eval()
+    backbone = adapt_first_conv_to_1ch(convert_resnet(tmodel.state_dict(), version=18))
+
+    model = AudioResNet(num_classes=4)
+    rng = jax.random.PRNGKey(0)
+    mel = jnp.zeros((2, 80, 117))
+    variables = model.init({"params": rng, "dropout": rng}, mel, train=False)
+    grafted = graft_backbone(variables, backbone, ("resnet",))
+    out = model.apply(grafted, mel, train=False)
+    assert out.shape == (2, 4)
+    # grafted kernel actually replaced the random init
+    np.testing.assert_allclose(
+        np.asarray(grafted["params"]["resnet"]["conv1"]["kernel"]),
+        backbone["params"]["conv1"]["kernel"],
+    )
+
+
+def test_graft_backbone_shape_mismatch_raises():
+    from multimodal_lipread_tpu.models.audio import AudioResNet
+    from multimodal_lipread_tpu.utils.torch_import import graft_backbone
+
+    tmodel = _TorchResNet18().eval()
+    backbone = convert_resnet(tmodel.state_dict(), version=18)  # 3-ch conv1
+
+    model = AudioResNet(num_classes=4)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, jnp.zeros((2, 80, 117)), train=False)
+    with pytest.raises(ValueError, match="mismatch"):
+        graft_backbone(variables, backbone, ("resnet",))
