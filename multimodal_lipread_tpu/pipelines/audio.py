@@ -19,6 +19,7 @@ from typing import Any, Dict
 from multimodal_lipread_tpu.config import Config
 from multimodal_lipread_tpu.models.audio import get_audio_model
 from multimodal_lipread_tpu.pipelines.common import (
+    load_pretrained_backbones,
     default_dirs,
     load_audio_datasets,
     parse_cli,
@@ -70,6 +71,8 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             test_every_epoch=True,
         ),
     )
+    trainer.init_state(datasets["train"].inputs)
+    load_pretrained_backbones(trainer, cfg)
     return trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
 
 

@@ -25,6 +25,7 @@ from multimodal_lipread_tpu.data.glips import (
 )
 from multimodal_lipread_tpu.models.audio_cues_video import get_triple_model
 from multimodal_lipread_tpu.pipelines.common import (
+    load_pretrained_backbones,
     compute_logmel_features,
     decode_waveforms,
     default_dirs,
@@ -108,6 +109,8 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             rolling_checkpoint=True,  # reference: audio_cues_video/train.py:179-187
         ),
     )
+    trainer.init_state(datasets["train"].inputs)
+    load_pretrained_backbones(trainer, cfg)
     return trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
 
 

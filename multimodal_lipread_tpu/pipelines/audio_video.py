@@ -24,6 +24,7 @@ from multimodal_lipread_tpu.data.glips import (
 )
 from multimodal_lipread_tpu.models.audio_video import get_av_model
 from multimodal_lipread_tpu.pipelines.common import (
+    load_pretrained_backbones,
     compute_logmel_features,
     decode_waveforms,
     default_dirs,
@@ -90,6 +91,8 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             test_every_epoch=True,
         ),
     )
+    trainer.init_state(datasets["train"].inputs)
+    load_pretrained_backbones(trainer, cfg)
     return trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
 
 

@@ -118,6 +118,67 @@ def load_video_datasets(
     return datasets, index
 
 
+def load_pretrained_backbones(trainer, cfg: Config) -> int:
+    """Graft converted torchvision weights into an initialized trainer state.
+
+    Config schema (list or single mapping under ``model.pretrained``):
+
+        model:
+          pretrained:
+            - arch: resnet18          # resnet18|resnet34|resnet50|vgg11|vgg13|
+                                      # vgg16|vgg19|mobilenet_v2|mobilenet_v3_small|
+                                      # shufflenet_v2_x0_5|shufflenet_v2_x1_0
+              path: /weights/resnet18.pth   # torch.save(model.state_dict(), ...)
+              submodule: [resnet]           # path inside the model tree
+              adapt_1ch: true               # fold RGB conv1 for mel inputs
+
+    The reference initializes every backbone from torchvision ImageNet
+    weights (e.g. video/models/resnet_lstm.py:80-84); this is the equivalent
+    hook. Returns the number of backbones grafted.
+    """
+    from multimodal_lipread_tpu.parallel.mesh import replicate
+    from multimodal_lipread_tpu.utils import torch_import as ti
+
+    specs = cfg.get("model.pretrained")
+    if not specs:
+        return 0
+    if isinstance(specs, dict):
+        specs = [specs]
+
+    converters = {
+        "resnet18": lambda p: ti.convert_resnet(p, 18),
+        "resnet34": lambda p: ti.convert_resnet(p, 34),
+        "resnet50": lambda p: ti.convert_resnet(p, 50),
+        "vgg11": lambda p: ti.convert_vgg_bn(p, 11),
+        "vgg13": lambda p: ti.convert_vgg_bn(p, 13),
+        "vgg16": lambda p: ti.convert_vgg_bn(p, 16),
+        "vgg19": lambda p: ti.convert_vgg_bn(p, 19),
+        "mobilenet_v2": ti.convert_mobilenet_v2,
+        "mobilenet_v3_small": ti.convert_mobilenet_v3_small,
+        "shufflenet_v2_x0_5": lambda p: ti.convert_shufflenet_v2(p, 0.5),
+        "shufflenet_v2_x1_0": lambda p: ti.convert_shufflenet_v2(p, 1.0),
+    }
+
+    assert trainer.state is not None, "call trainer.init_state() before grafting"
+    variables = {
+        "params": trainer.state["params"],
+        "batch_stats": trainer.state["batch_stats"],
+    }
+    count = 0
+    for spec in specs:
+        arch = spec["arch"]
+        if arch not in converters:
+            raise ValueError(f"Unknown pretrained arch: {arch}")
+        converted = converters[arch](spec["path"])
+        if spec.get("adapt_1ch"):
+            converted = ti.adapt_first_conv_to_1ch(converted)
+        variables = ti.graft_backbone(variables, converted, tuple(spec["submodule"]))
+        count += 1
+    trainer.state["params"] = replicate(trainer.mesh, variables["params"])
+    trainer.state["batch_stats"] = replicate(trainer.mesh, variables["batch_stats"])
+    return count
+
+
 def parse_cli(default_config: Optional[str] = None) -> Config:
     """--config path.yaml [--set a.b=c ...] → Config with overrides applied."""
     parser = argparse.ArgumentParser()

@@ -21,6 +21,7 @@ from multimodal_lipread_tpu.data.glips import SPLITS, scan_lip_regions
 from multimodal_lipread_tpu.models.cues_video import get_cues_video_model
 from multimodal_lipread_tpu.pipelines.common import default_dirs, load_lip_sequences, parse_cli
 from multimodal_lipread_tpu.pipelines.video import resolve_lip_root
+from multimodal_lipread_tpu.pipelines.common import load_pretrained_backbones
 from multimodal_lipread_tpu.train.trainer import ArrayDataset, Trainer, TrainerConfig
 
 
@@ -87,6 +88,8 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             test_every_epoch=True,
         ),
     )
+    trainer.init_state(datasets["train"].inputs)
+    load_pretrained_backbones(trainer, cfg)
     return trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
 
 

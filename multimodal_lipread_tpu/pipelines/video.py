@@ -21,6 +21,7 @@ from multimodal_lipread_tpu.config import Config
 from multimodal_lipread_tpu.data.glips import lip_regions_root, lipread_files_dir
 from multimodal_lipread_tpu.models.video import get_video_model
 from multimodal_lipread_tpu.pipelines.common import default_dirs, load_video_datasets, parse_cli
+from multimodal_lipread_tpu.pipelines.common import load_pretrained_backbones
 from multimodal_lipread_tpu.train.trainer import Trainer, TrainerConfig
 
 
@@ -77,6 +78,8 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             mixup_alpha=cfg.get("augmentation.mixup_alpha", 0.0),
         ),
     )
+    trainer.init_state(datasets["train"].inputs)
+    load_pretrained_backbones(trainer, cfg)
     result = trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
 
     if "final_test_acc" in result:

@@ -38,3 +38,29 @@ def test_audio_pipeline_end_to_end(glips_root, tmp_path):
     assert len(result["history"]) == 2
     assert os.path.exists(tmp_path / "audio" / "metrics" / "resnet_training_log.csv")
     assert os.path.exists(tmp_path / "audio" / "models_trained" / "resnet_best.msgpack")
+
+
+def test_audio_pipeline_with_pretrained_backbone(glips_root, tmp_path):
+    """model.pretrained grafts a converted torch ResNet18 into the trainer."""
+    import torch
+
+    from tests.test_torch_import import _TorchResNet18
+
+    pth = tmp_path / "resnet18.pth"
+    torch.save(_TorchResNet18().state_dict(), pth)
+
+    cfg = Config.from_dict(
+        {
+            "dataset": {"root_dir": glips_root, "num_classes": 4, "input_size": 117},
+            "model": {
+                "name": "resnet",
+                "pretrained": [{"arch": "resnet18", "path": str(pth),
+                                "submodule": ["resnet"], "adapt_1ch": True}],
+            },
+            "training": {"batch_size": 16, "epochs": 1, "learning_rate": 1e-3,
+                         "weight_decay": 1e-4, "seed": 0},
+            "output": {"base_dir": str(tmp_path / "audio_pre")},
+        }
+    )
+    result = audio_main(cfg)
+    assert "final_test_acc" in result
