@@ -43,3 +43,29 @@ def load_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     with open(path, "rb") as f:
         data = f.read()
     return serialization.from_bytes(_to_host(template), data)
+
+
+def save_checkpoint_orbax(directory: str, tree: Dict[str, Any]) -> None:
+    """Orbax backend: save the checkpoint pytree to a directory.
+
+    Orbax shards large arrays across files and writes asynchronously-safe
+    metadata — the right backend once checkpoints outgrow a single msgpack
+    blob (multi-host, very large models). Same best-val policy either way.
+    """
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(directory)
+    if os.path.exists(path):
+        import shutil
+
+        shutil.rmtree(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, _to_host(tree))
+
+
+def load_checkpoint_orbax(directory: str, template: Dict[str, Any]) -> Dict[str, Any]:
+    """Orbax backend: restore a checkpoint pytree saved by save_checkpoint_orbax."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(os.path.abspath(directory), _to_host(template))

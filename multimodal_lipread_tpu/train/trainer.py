@@ -91,6 +91,8 @@ class TrainerConfig:
     half_precision: bool = False  # cast inputs to bf16 before the model
     profile_dir: Optional[str] = None  # write a jax.profiler trace of epoch 1
     mixup_alpha: float = 0.0  # >0 enables batch mixup (full batches only)
+    remat: bool = False  # jax.checkpoint the forward: trade FLOPs for HBM
+    checkpoint_backend: str = "msgpack"  # 'msgpack' (single file) or 'orbax'
 
 
 @dataclasses.dataclass
@@ -178,12 +180,21 @@ class Trainer:
                 return weights
             return weights * class_weights[labels]
 
+        use_remat = self.config.remat
+
         def forward(params, batch_stats, inputs, train, rngs):
             variables = {"params": params, "batch_stats": batch_stats}
             if train:
-                logits, mutated = model.apply(
-                    variables, *inputs, train=True, mutable=["batch_stats"], rngs=rngs, **extra
-                )
+                def fwd(variables, *inputs):
+                    return model.apply(
+                        variables, *inputs, train=True, mutable=["batch_stats"],
+                        rngs=rngs, **extra,
+                    )
+
+                if use_remat:
+                    # rematerialize activations in backward: HBM for FLOPs
+                    fwd = jax.checkpoint(fwd)
+                logits, mutated = fwd(variables, *inputs)
                 return logits, mutated.get("batch_stats", batch_stats)
             logits = model.apply(variables, *inputs, train=False, **extra)
             return logits, batch_stats
@@ -307,7 +318,25 @@ class Trainer:
 
     def _ckpt_path(self, kind: str) -> str:
         os.makedirs(self.config.checkpoints_dir, exist_ok=True)
-        return os.path.join(self.config.checkpoints_dir, f"{self.config.model_name}_{kind}.msgpack")
+        suffix = "msgpack" if self.config.checkpoint_backend == "msgpack" else "orbax"
+        return os.path.join(
+            self.config.checkpoints_dir, f"{self.config.model_name}_{kind}.{suffix}"
+        )
+
+    def _save_ckpt(self, path: str, tree: Dict[str, Any]) -> None:
+        if self.config.checkpoint_backend == "orbax":
+            from multimodal_lipread_tpu.train.checkpoint import save_checkpoint_orbax
+
+            save_checkpoint_orbax(path, tree)
+        else:
+            save_checkpoint(path, tree)
+
+    def _load_ckpt(self, path: str, template: Dict[str, Any]) -> Dict[str, Any]:
+        if self.config.checkpoint_backend == "orbax":
+            from multimodal_lipread_tpu.train.checkpoint import load_checkpoint_orbax
+
+            return load_checkpoint_orbax(path, template)
+        return load_checkpoint(path, template)
 
     def _set_lr(self, lr: float) -> None:
         self.state["opt_state"].hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
@@ -338,7 +367,7 @@ class Trainer:
         rolling_path = self._ckpt_path("checkpoint")
         best_path = self._ckpt_path("best")
         if resume and os.path.exists(rolling_path):
-            ckpt = load_checkpoint(rolling_path, ckpt_template)
+            ckpt = self._load_ckpt(rolling_path, ckpt_template)
             self.state = replicate(self.mesh, ckpt["state"])
             start_epoch = int(ckpt["epoch"]) + 1
             best_val_acc = float(ckpt["val_acc"])
@@ -397,13 +426,13 @@ class Trainer:
             }
             if va.acc > best_val_acc:
                 best_val_acc = va.acc
-                save_checkpoint(best_path, ckpt)
+                self._save_ckpt(best_path, ckpt)
             if cfg.rolling_checkpoint:
-                save_checkpoint(rolling_path, ckpt)
+                self._save_ckpt(rolling_path, ckpt)
 
         result: Dict[str, Any] = {"history": history, "best_val_acc": best_val_acc}
         if test_ds is not None and os.path.exists(best_path):
-            best = load_checkpoint(best_path, ckpt_template)
+            best = self._load_ckpt(best_path, ckpt_template)
             best_state = replicate(self.mesh, best["state"])
             final = self.evaluate(
                 test_ds, params=best_state["params"], batch_stats=best_state["batch_stats"]

@@ -176,3 +176,51 @@ def test_mixup_function_soft_labels():
     np.testing.assert_allclose(np.asarray(ml).sum(axis=1), 1.0, rtol=1e-5)
     # inputs mix with the same lambda as labels
     np.testing.assert_allclose(np.asarray(mx).sum(axis=1), 1.0, rtol=1e-5)
+
+
+def test_orbax_checkpoint_backend(tmp_path):
+    from flax import linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            return nn.Dense(4)(x.reshape(x.shape[0], -1))
+
+    ds = _tiny_dataset(32)
+    trainer = Trainer(
+        Tiny(),
+        TrainerConfig(
+            model_name="tinyorbax", num_classes=4, batch_size=16, epochs=2,
+            learning_rate=1e-2, checkpoint_backend="orbax", test_every_epoch=False,
+            metrics_dir=str(tmp_path / "m"), checkpoints_dir=str(tmp_path / "c"),
+        ),
+    )
+    result = trainer.fit(ds, ds, ds, progress=None)
+    assert os.path.isdir(tmp_path / "c" / "tinyorbax_best.orbax")
+    assert "final_test_acc" in result
+
+
+def test_remat_training_matches_plain(tmp_path):
+    """remat=True must not change the training trajectory, only memory."""
+    from flax import linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            return nn.Dense(4)(x.reshape(x.shape[0], -1))
+
+    ds = _tiny_dataset(32)
+
+    def run(remat, tag):
+        t = Trainer(
+            Tiny(),
+            TrainerConfig(
+                model_name=tag, num_classes=4, batch_size=16, epochs=2,
+                learning_rate=1e-2, remat=remat, test_every_epoch=False,
+                metrics_dir=str(tmp_path / tag / "m"),
+                checkpoints_dir=str(tmp_path / tag / "c"),
+            ),
+        )
+        return t.fit(ds, ds, progress=None)["history"][-1]["train_loss"]
+
+    assert run(False, "plain") == pytest.approx(run(True, "remat"), rel=1e-5)
