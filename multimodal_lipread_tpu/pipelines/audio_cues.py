@@ -56,6 +56,18 @@ def load_audio_cue_datasets(
     return datasets, classes
 
 
+def _maybe_plot(cfg, metrics_dir: str) -> None:
+    """Write loss/accuracy PNGs after training (reference: visualize_metrics.py
+    per subsystem); disable with output.plots: false."""
+    if cfg.get("output.plots", True):
+        try:
+            from multimodal_lipread_tpu.utils.visualize import plot_logs
+
+            plot_logs(metrics_dir)
+        except Exception as e:  # plotting must never fail a run
+            print(f"plotting skipped: {e}")
+
+
 def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     if isinstance(config, str):
         from multimodal_lipread_tpu.config import load_config
@@ -93,7 +105,9 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     )
     trainer.init_state(datasets["train"].inputs)
     load_pretrained_backbones(trainer, cfg)
-    return trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
+    result = trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
+    _maybe_plot(cfg, metrics_dir)
+    return result
 
 
 if __name__ == "__main__":

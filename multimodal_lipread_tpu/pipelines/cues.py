@@ -87,6 +87,18 @@ def load_cue_classification_data(
     return datasets, classes
 
 
+def _maybe_plot(cfg, metrics_dir: str) -> None:
+    """Write loss/accuracy PNGs after training (reference: visualize_metrics.py
+    per subsystem); disable with output.plots: false."""
+    if cfg.get("output.plots", True):
+        try:
+            from multimodal_lipread_tpu.utils.visualize import plot_logs
+
+            plot_logs(metrics_dir)
+        except Exception as e:  # plotting must never fail a run
+            print(f"plotting skipped: {e}")
+
+
 def main(config: Config | str) -> Dict[str, Any]:
     if isinstance(config, str):
         from multimodal_lipread_tpu.config import load_config
@@ -129,7 +141,9 @@ def main(config: Config | str) -> Dict[str, Any]:
             class_weights=class_weights,
         ),
     )
-    return trainer.fit(datasets["train"], datasets["val"], datasets.get("test"))
+    result = trainer.fit(datasets["train"], datasets["val"], datasets.get("test"))
+    _maybe_plot(cfg, metrics_dir)
+    return result
 
 
 if __name__ == "__main__":

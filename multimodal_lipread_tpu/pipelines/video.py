@@ -35,6 +35,18 @@ def resolve_lip_root(cfg: Config) -> str:
     return os.path.join(lip_regions_root(root), os.path.basename(lipread_files_dir(root)))
 
 
+def _maybe_plot(cfg, metrics_dir: str) -> None:
+    """Write loss/accuracy PNGs after training (reference: visualize_metrics.py
+    per subsystem); disable with output.plots: false."""
+    if cfg.get("output.plots", True):
+        try:
+            from multimodal_lipread_tpu.utils.visualize import plot_logs
+
+            plot_logs(metrics_dir)
+        except Exception as e:  # plotting must never fail a run
+            print(f"plotting skipped: {e}")
+
+
 def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     if isinstance(config, str):
         from multimodal_lipread_tpu.config import load_config
@@ -81,6 +93,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     trainer.init_state(datasets["train"].inputs)
     load_pretrained_backbones(trainer, cfg)
     result = trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
+    _maybe_plot(cfg, metrics_dir)
 
     if "final_test_acc" in result:
         with open(os.path.join(ckpt_dir, "test_results.txt"), "w") as f:
