@@ -26,7 +26,7 @@ import time
 import numpy as np
 
 
-BATCH = 32
+BATCH = 128  # per-chip; saturates the chip (throughput flat from 128 to 512)
 STEPS = 30
 WARMUP = 3
 
@@ -45,10 +45,10 @@ def bench_jax() -> float:
     bsharding = batch_sharding(mesh)
     batch = ((BATCH * n_chips + n_chips - 1) // n_chips) * n_chips
 
-    # f32 measured faster than bf16 for these small (80x117) shapes on this
-    # chip generation — bf16's conversion/layout overhead dominates when the
-    # convs are this small; revisit if shapes grow.
-    model = get_audio_model("vgg_lstm", num_classes=4, version=16)
+    # bf16 compute, f32 loss/params: +32% over f32 with honest device fencing
+    # (an earlier f32-vs-bf16 comparison was inverted by the axon tunnel's
+    # non-blocking block_until_ready — see the timing note below).
+    model = get_audio_model("vgg_lstm", num_classes=4, version=16, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
     waves = np.random.default_rng(0).standard_normal((batch, 20000)).astype(np.float32) * 1000.0
     labels = np.random.default_rng(1).integers(0, 4, size=batch).astype(np.int32)
@@ -87,15 +87,18 @@ def bench_jax() -> float:
 
     for i in range(WARMUP):
         state, loss = step(state, wave_d, labels_d, jax.random.PRNGKey(i))
-    jax.block_until_ready(state["params"])
-    # best-of-3 timing loops: the tunnel to the chip shows large run-to-run
-    # variance; the fastest loop is the least-contended estimate
+    float(loss)  # force completion
+    # Timing methodology: on the axon TPU tunnel, block_until_ready returns
+    # before device execution finishes — only a host VALUE fetch blocks on the
+    # real computation (verified against known-FLOPs matmuls). The final
+    # loss depends on the whole chain of donated states, so fetching it
+    # fences every step in the loop. Best-of-3 absorbs tunnel contention.
     best_dt = float("inf")
     for _trial in range(3):
         t0 = time.perf_counter()
         for i in range(STEPS):
             state, loss = step(state, wave_d, labels_d, jax.random.PRNGKey(i))
-        jax.block_until_ready(state["params"])
+        float(loss)
         best_dt = min(best_dt, time.perf_counter() - t0)
     clips_per_sec = batch * STEPS / best_dt
     return clips_per_sec / n_chips
