@@ -202,6 +202,32 @@ class LSTMResNetWithTransformer(nn.Module):
         return nn.Dense(self.num_classes, dtype=self.dtype, name="classifier")(pooled)
 
 
+class AudioConformer(nn.Module):
+    """EXTENSION (not in the reference): Conformer over the mel time axis.
+
+    (B, 80, T) is treated as a T-step sequence of 80-d frames — the modern
+    AVSR recipe (PAPERS.md, arxiv 2102.06657) adapted to word classification
+    via mean pooling.
+    """
+
+    num_classes: int
+    d_model: int = 144
+    num_layers: int = 4
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from multimodal_lipread_tpu.nn.conformer import ConformerEncoder
+
+        seq = jnp.swapaxes(x, 1, 2)  # (B, T, 80)
+        enc = ConformerEncoder(self.d_model, self.num_layers, dropout_rate=self.dropout_rate,
+                               dtype=self.dtype, name="encoder")(seq, train)
+        pooled = jnp.mean(enc, axis=1)
+        pooled = nn.Dropout(self.dropout_rate)(pooled, deterministic=not train)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="classifier")(pooled)
+
+
 def get_audio_model(
     name: str,
     num_classes: int,
@@ -225,10 +251,13 @@ def get_audio_model(
         return DeepAudioNetWithAttention(num_classes, input_size, use_batchnorm=use_batchnorm, dtype=dtype)
     if name == "lstm_resnet_trans":
         return LSTMResNetWithTransformer(num_classes, input_size, use_batchnorm=use_batchnorm, dtype=dtype)
+    if name == "conformer":  # TPU-native extension beyond the reference zoo
+        return AudioConformer(num_classes, dtype=dtype)
     raise ValueError(f"Unknown audio model: {name}")
 
 
 AUDIO_MODEL_NAMES = (
     "resnet", "resnet_lstm", "vgg", "vgg_lstm",
     "lstm_resnet", "lstm_resnet_attn", "lstm_resnet_trans",
+    "conformer",  # extension
 )

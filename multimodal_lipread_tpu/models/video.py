@@ -233,6 +233,30 @@ class CNNOnly(nn.Module):
         return nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(pooled)
 
 
+class VideoConformer(nn.Module):
+    """EXTENSION (not in the reference): per-frame ResNet + Conformer encoder
+    over time (PAPERS.md, arxiv 2102.06657), mean-pooled word classifier."""
+
+    num_classes: int
+    resnet_version: int = 18
+    d_model: int = 144
+    num_layers: int = 4
+    dropout_rate: float = 0.1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from multimodal_lipread_tpu.nn.conformer import ConformerEncoder
+
+        backbone = ResNet(self.resnet_version, dtype=self.dtype, name="resnet")
+        seq = _td(backbone, x, train)  # (B, T, 512)
+        enc = ConformerEncoder(self.d_model, self.num_layers, dropout_rate=self.dropout_rate,
+                               dtype=self.dtype, name="encoder")(seq, train)
+        pooled = jnp.mean(enc, axis=1)
+        pooled = nn.Dropout(self.dropout_rate)(pooled, deterministic=not train)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="classifier")(pooled)
+
+
 def get_video_model(
     name: str,
     num_classes: int,
@@ -267,10 +291,14 @@ def get_video_model(
     if name == "resnet_trans":
         return ResNet2DTransformer(num_classes, resnet_version=resnet_version,
                                    dropout_rate=opt(0.2), dtype=dtype)
+    if name == "conformer":  # TPU-native extension beyond the reference zoo
+        return VideoConformer(num_classes, resnet_version=resnet_version,
+                              dropout_rate=opt(0.1), dtype=dtype)
     raise ValueError(f"Unknown video model: {name}")
 
 
 VIDEO_MODEL_NAMES = (
     "vgg_lstm", "resnet_lstm", "shufflenet_lstm", "mobilenet_lstm",
     "resnet_attn", "cnn", "resnet_trans",
+    "conformer",  # extension
 )
