@@ -83,15 +83,19 @@ def load_audio_datasets(
     return datasets, index
 
 
-def load_lip_sequences(paths: Sequence[str]) -> np.ndarray:
-    """Load lip-region .npy files → (N, 29, 44, 44, 3) float32 in [0, 1] (NTHWC).
+def load_lip_sequences(paths: Sequence[str], keep_uint8: bool = True) -> np.ndarray:
+    """Load lip-region .npy files → (N, 29, 44, 44, 3) NTHWC.
 
-    The reference loads the same arrays, scales by 1/255 and permutes to
-    (C, T, H, W) (video/data_utils/dataset_loader.py:84-94); we keep
-    channels-last for TPU conv layouts.
+    By default arrays stay **uint8**: the Trainer scales them to [0,1] on
+    device, so the host→device copy is 4x smaller than float32. Pass
+    ``keep_uint8=False`` for the float path (scaled by 1/255 like the
+    reference, video/data_utils/dataset_loader.py:84-94; channels-last for
+    TPU conv layouts).
     """
     if not paths:
-        return np.zeros((0, 29, 44, 44, 3), np.float32)
+        return np.zeros((0, 29, 44, 44, 3), np.uint8 if keep_uint8 else np.float32)
+    if keep_uint8:
+        return np.stack([np.load(p) for p in paths])
     from multimodal_lipread_tpu.data.native_io import load_npy_u8_batch
 
     native = load_npy_u8_batch(paths, (29, 44, 44, 3))

@@ -148,7 +148,13 @@ class Trainer:
     def init_state(self, example_inputs: Sequence[np.ndarray]) -> Dict[str, Any]:
         """Initialize parameters/optimizer; replicate over the mesh."""
         rng = jax.random.PRNGKey(self.config.seed)
-        dummy = tuple(jnp.asarray(a[: self.n_devices]) for a in example_inputs)
+
+        def init_cast(a):
+            x = jnp.asarray(a[: self.n_devices])
+            # mirror the train-step cast: uint8 inputs are device-normalized
+            return x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
+
+        dummy = tuple(init_cast(a) for a in example_inputs)
         variables = self.model.init(
             {"params": rng, "dropout": rng}, *dummy, train=False, **self._apply_train_kwargs
         )
@@ -172,7 +178,17 @@ class Trainer:
         model = self.model
         tx = self._tx
         class_weights = self._class_weights
-        cast = (lambda x: x.astype(jnp.bfloat16)) if self.config.half_precision else (lambda x: x)
+        half = self.config.half_precision
+
+        def cast(x):
+            # uint8 inputs (e.g. lip regions) cross the host→device boundary
+            # at 1/4 the bytes and are scaled to [0,1] ON DEVICE — the
+            # "device-side normalize" stage of the lip pipeline
+            if x.dtype == jnp.uint8:
+                x = x.astype(jnp.bfloat16 if half else jnp.float32) / 255.0
+            elif half and jnp.issubdtype(x.dtype, jnp.floating):
+                x = x.astype(jnp.bfloat16)
+            return x
         extra = self._apply_train_kwargs
 
         def per_example_weight(labels, weights):
