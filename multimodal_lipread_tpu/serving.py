@@ -110,7 +110,7 @@ def export_stablehlo(model: Any, variables: Dict[str, Any], example_inputs: Sequ
 
     args = tuple(jnp.asarray(a) for a in example_inputs)
     exported = jexport.export(jax.jit(fwd))(*args)
-    return exported.serialize()
+    return bytes(exported.serialize())  # serialize() yields a bytearray
 
 
 def predict_audio_clips(

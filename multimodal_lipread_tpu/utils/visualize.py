@@ -83,6 +83,43 @@ def plot_cue_comparison(
     return out_path
 
 
+def collect_final_accuracies(metrics_dir: str) -> Dict[str, float]:
+    """model → final accuracy from a metrics dir.
+
+    Prefers the ``Final Test`` TXT footer; falls back to the last CSV row's
+    val accuracy (the cue classifiers log train/val only)."""
+    import re
+
+    out: Dict[str, float] = {}
+    for name in sorted(os.listdir(metrics_dir)):
+        if not name.endswith("_training_log.txt"):
+            continue
+        model = name[: -len("_training_log.txt")]
+        text = open(os.path.join(metrics_dir, name)).read()
+        m = re.findall(r"Final Test Acc:\s*([\d.]+)%", text)
+        if m:
+            out[model] = float(m[-1])
+            continue
+        csv_path = os.path.join(metrics_dir, f"{model}_training_log.csv")
+        if os.path.exists(csv_path):
+            df = pd.read_csv(csv_path)
+            if not df.empty and "val_acc" in df.columns:
+                out[model] = float(df["val_acc"].iloc[-1])
+    return out
+
+
+def cues_compare_from_logs(
+    emotion_metrics_dir: str, environment_metrics_dir: str, out_path: str
+) -> str:
+    """Reference plotting/cues_compare.py, but computed from the actual logs
+    instead of a hard-coded table."""
+    emo = collect_final_accuracies(emotion_metrics_dir)
+    env = collect_final_accuracies(environment_metrics_dir)
+    models = sorted(set(emo) | set(env))
+    acc = {m: [emo.get(m, 0.0), env.get(m, 0.0)] for m in models}
+    return plot_cue_comparison(acc, out_path)
+
+
 def plot_lip_sequence_grid(
     lip_sequence, out_path: str, rows: int = 3, cols: int = 10
 ) -> str:

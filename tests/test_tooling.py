@@ -180,3 +180,23 @@ def test_plot_lip_sequence_grid(tmp_path):
     seq = np.random.default_rng(0).integers(0, 255, (29, 44, 44, 3), dtype=np.uint8)
     out = plot_lip_sequence_grid(seq, str(tmp_path / "grid.png"))
     assert os.path.exists(out)
+
+
+def test_cues_compare_from_logs(tmp_path):
+    from multimodal_lipread_tpu.utils.visualize import (
+        collect_final_accuracies,
+        cues_compare_from_logs,
+    )
+
+    for mode, acc in (("emo", 65.0), ("env", 39.4)):
+        d = tmp_path / mode
+        d.mkdir()
+        (d / "multi_attn_training_log.csv").write_text(
+            "epoch,train_loss,train_acc,val_loss,val_acc\n1,1.0,50,1.1,%s\n" % acc
+        )
+        (d / "multi_attn_training_log.txt").write_text("Epoch 1\n")
+    got = collect_final_accuracies(str(tmp_path / "emo"))
+    assert got == {"multi_attn": 65.0}
+    out = cues_compare_from_logs(str(tmp_path / "emo"), str(tmp_path / "env"),
+                                 str(tmp_path / "cmp.png"))
+    assert os.path.exists(out)
