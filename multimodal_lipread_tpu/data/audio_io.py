@@ -28,7 +28,7 @@ def _ffmpeg_available() -> bool:
     return shutil.which("ffmpeg") is not None
 
 
-def _load_wav(path: str) -> np.ndarray:
+def _load_wav(path: str) -> "tuple[np.ndarray, int]":
     """Decode a PCM WAV file to a mono float waveform at its native rate.
 
     Matches pydub's sample scaling: int16 sample values are used as-is

@@ -34,8 +34,7 @@ def mixup(
 
     def mix(x):
         lam_b = lam.astype(x.dtype)
-        shape = (B,) + (1,) * (x.ndim - 1)
-        return x * lam_b.reshape(()) + x[perm] * (1.0 - lam_b)
+        return x * lam_b + x[perm] * (1.0 - lam_b)
 
     mixed_inputs = tuple(mix(x) for x in inputs)
     mixed_labels = labels_onehot * lam + labels_onehot[perm] * (1.0 - lam)

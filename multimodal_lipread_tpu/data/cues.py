@@ -90,8 +90,30 @@ def load_cue_records(
 # --------------------------------------------------------------------- embedders
 
 
+def canonical_embed_model(model: str) -> str:
+    """Map full HF names (the reference configs use them, e.g.
+    audio_cues/configs/ac_config.yaml 'sentence-transformers/all-mpnet-base-v2')
+    to this module's short keys; reject unknown names cleanly."""
+    aliases = {
+        "sentence-transformers/all-minilm-l6-v2": "minilm",
+        "all-minilm-l6-v2": "minilm",
+        "sentence-transformers/all-mpnet-base-v2": "mpnet",
+        "all-mpnet-base-v2": "mpnet",
+        "distilbert-base-uncased": "distilbert",
+    }
+    key = aliases.get(model.lower(), model.lower())
+    if key not in EMBED_DIMS:
+        raise ValueError(
+            f"Unknown cue embedding model '{model}'; expected one of "
+            f"{sorted(EMBED_DIMS)} or a known sentence-transformers name"
+        )
+    return key
+
+
 class HashingEmbedder:
     """Deterministic offline sentence embedder (see module docstring)."""
+
+    cache_tag = "hash"
 
     def __init__(self, dim: int):
         self.dim = dim
@@ -136,6 +158,8 @@ class SentenceTransformerEmbedder:
     """sentence-transformers backend (reference models); raises if weights
     are not locally available."""
 
+    cache_tag = "st"
+
     def __init__(self, model: str = "mpnet", local_files_only: bool = True):
         from sentence_transformers import SentenceTransformer  # noqa: deferred
 
@@ -159,9 +183,13 @@ class SentenceTransformerEmbedder:
 
 
 def get_embedder(model: str = "mpnet", allow_fallback: bool = True):
-    """Best available embedder for a model name ('minilm'|'mpnet'|'ensemble')."""
+    """Best available embedder for a model name ('minilm'|'mpnet'|'ensemble'
+    or a full sentence-transformers name)."""
+    model = canonical_embed_model(model)
     try:
         return SentenceTransformerEmbedder(model)
+    except ValueError:
+        raise
     except Exception:
         if not allow_fallback:
             raise
@@ -170,6 +198,7 @@ def get_embedder(model: str = "mpnet", allow_fallback: bool = True):
 
 def get_token_embedder(model: str = "mpnet", max_length: int = 32, allow_fallback: bool = True):
     """Token-level embedder returning (N, max_length, D) arrays."""
+    model = canonical_embed_model(model)
     try:
         import torch
         from transformers import AutoModel, AutoTokenizer
@@ -180,6 +209,7 @@ def get_token_embedder(model: str = "mpnet", max_length: int = 32, allow_fallbac
         hf_model.eval()
 
         class _HF:
+            cache_tag = "hf"
             dim = hf_model.config.hidden_size
 
             def encode_tokens(self, sentences: Sequence[str], max_length: int = max_length) -> np.ndarray:
@@ -219,15 +249,21 @@ def embed_cached(
     max_length: int = 32,
 ) -> np.ndarray:
     """Embed descriptions with an md5-keyed .npz cache
-    (reference: audio_cues/data_utils/dataset.py:105-122)."""
-    tag = f"{model}{'_tok' if token_level else ''}"
+    (reference: audio_cues/data_utils/dataset.py:105-122).
+
+    The cache key includes the resolved BACKEND (transformer vs hashing
+    fallback), so offline fallback runs never poison the cache for real
+    transformer runs or vice versa."""
+    model = canonical_embed_model(model)
+    if embedder is None:
+        embedder = get_token_embedder(model, max_length) if token_level else get_embedder(model)
+    backend = getattr(embedder, "cache_tag", type(embedder).__name__)
+    tag = f"{model}{'_tok' if token_level else ''}_{backend}"
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         path = os.path.join(cache_dir, f"cue_emb_{tag}_{_cache_key(descriptions, tag)}.npz")
         if os.path.exists(path):
             return np.load(path)["embeddings"]
-    if embedder is None:
-        embedder = get_token_embedder(model, max_length) if token_level else get_embedder(model)
     if token_level:
         embs = embedder.encode_tokens(descriptions, max_length=max_length)
     else:

@@ -98,19 +98,29 @@ def scan_glips(
     else:
         found = sorted(words)
     index = GlipsIndex(root=root, classes=found)
+    exts = tuple(e.lower() for e in exts)
     for word in found:
         for split in splits:
             d = os.path.join(base, word, split)
             if not os.path.isdir(d):
                 continue
+            # dedup clips present in several formats (e.g. .m4a converted to
+            # .wav alongside the original): one entry per (word, sid, split),
+            # the earliest extension in ``exts`` wins
+            best: Dict[str, Tuple[int, str]] = {}
             for name in sorted(os.listdir(d)):
-                if not name.lower().endswith(tuple(exts)):
+                lower = name.lower()
+                rank = next((i for i, e in enumerate(exts) if lower.endswith(e)), None)
+                if rank is None:
                     continue
                 sid = extract_sequence_id(name)
                 if sid is None:
                     continue
+                if sid not in best or rank < best[sid][0]:
+                    best[sid] = (rank, os.path.join(d, name))
+            for sid in sorted(best):
                 index.entries.append(
-                    ClipEntry(word=word, split=split, sequence_id=sid, path=os.path.join(d, name))
+                    ClipEntry(word=word, split=split, sequence_id=sid, path=best[sid][1])
                 )
     return index
 

@@ -49,7 +49,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
             lib.mlt_load_wav_batch.restype = ctypes.c_longlong
             lib.mlt_load_wav_batch.argtypes = [
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_longlong, ctypes.c_int,
-                ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+                ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ]
             lib.mlt_load_npy_u8_batch.restype = ctypes.c_longlong
             lib.mlt_load_npy_u8_batch.argtypes = [
@@ -69,19 +69,22 @@ def _paths_array(paths: Sequence[str]):
 
 
 def load_wav_batch(
-    paths: Sequence[str], target_samples: int = 20000, n_threads: int = DEFAULT_THREADS
+    paths: Sequence[str],
+    target_samples: int = 20000,
+    sample_rate: int = 16000,
+    n_threads: int = DEFAULT_THREADS,
 ) -> Optional[np.ndarray]:
     """Threaded native decode of PCM16 WAVs → (N, target_samples) float32.
 
-    Returns None when the native library is unavailable or any file is not
-    plain PCM16 WAV (caller falls back to the Python/ffmpeg path).
-    """
+    Returns None when the native library is unavailable or any file is not a
+    plain PCM16 WAV at ``sample_rate`` (the caller falls back to the
+    Python/ffmpeg path, which resamples)."""
     lib = get_lib()
     if lib is None or not paths:
         return None
     out = np.empty((len(paths), target_samples), np.float32)
     status = lib.mlt_load_wav_batch(
-        _paths_array(paths), len(paths), target_samples,
+        _paths_array(paths), len(paths), target_samples, sample_rate,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)), n_threads,
     )
     return out if status == 0 else None

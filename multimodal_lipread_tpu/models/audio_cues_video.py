@@ -208,6 +208,14 @@ def get_triple_model(name: str, num_classes: int, dtype: Any = jnp.float32) -> n
     raise ValueError(f"Unknown audio_cues_video model: {name}")
 
 
+# param-path prefixes the reference freezes in the early variants
+# (audio ResNet + video backbone, early_fusion_mobile.py:136-144)
+FROZEN_PARAM_PREFIXES = {
+    "early_fusion_mobile": (("audio", "resnet"), ("video", "cnn")),
+    "early_fusion_resnet": (("audio", "resnet"), ("video", "cnn")),
+}
+
+
 TRIPLE_MODEL_NAMES = (
     "early_fusion_mobile", "middle_fusion_mobile", "late_fusion_mobile",
     "early_fusion_resnet", "middle_fusion_resnet", "late_fusion_resnet",

@@ -182,6 +182,14 @@ def get_cues_video_model(name: str, num_classes: int, dtype: Any = jnp.float32) 
     raise ValueError(f"Unknown cues_video model: {name}")
 
 
+# param-path prefixes the reference freezes (requires_grad=False); feed to
+# TrainerConfig.frozen_param_prefixes so the optimizer skips them entirely
+FROZEN_PARAM_PREFIXES = {
+    "early_fusion_mobile": (("video_encoder", "cnn"),),
+    "late_fusion_mobile": (("video_encoder", "cnn"),),
+}
+
+
 CUES_VIDEO_MODEL_NAMES = (
     "early_fusion_mobile", "middle_fusion_mobile", "late_fusion_mobile",
     "early_fusion_resnet", "middle_fusion_resnet", "late_fusion_resnet",

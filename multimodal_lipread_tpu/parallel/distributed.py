@@ -20,24 +20,33 @@ import os
 def maybe_initialize_distributed() -> bool:
     """Initialize jax.distributed when a multi-process env is detected.
 
-    Returns True when distributed mode was initialized. Detection: explicit
-    JAX_COORDINATOR_ADDRESS / standard TPU-pod env vars, or NUM_PROCESSES>1.
+    Returns True when distributed mode is active. IMPORTANT: this inspects
+    ONLY environment variables before calling ``jax.distributed.initialize``
+    — querying jax (even ``jax.process_count()``) would initialize the local
+    backend first and make ``initialize()`` raise. Call this before any JAX
+    computation.
     """
-    import jax
-
-    if jax.process_count() > 1:  # already initialized
-        return True
     coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
     num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "0") or 0)
-    if coordinator and num_processes > 1:
-        jax.distributed.initialize(
-            coordinator_address=coordinator,
-            num_processes=num_processes,
-            process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
-        )
+    pod_env = bool(
+        os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+    )
+    if not ((coordinator and num_processes > 1) or pod_env):
+        return False
+
+    import jax
+
+    try:
+        if coordinator and num_processes > 1:
+            jax.distributed.initialize(
+                coordinator_address=coordinator,
+                num_processes=num_processes,
+                process_id=int(os.environ.get("JAX_PROCESS_ID", "0")),
+            )
+        else:  # TPU pod metadata present: let jax auto-detect everything
+            jax.distributed.initialize()
         return True
-    if os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"):
-        # TPU pod metadata present: let jax auto-detect everything
-        jax.distributed.initialize()
-        return True
-    return False
+    except RuntimeError as e:
+        if "already" in str(e).lower():  # initialize() called twice
+            return True
+        raise

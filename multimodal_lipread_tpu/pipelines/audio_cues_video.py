@@ -24,6 +24,7 @@ from multimodal_lipread_tpu.data.glips import (
     scan_lip_regions,
 )
 from multimodal_lipread_tpu.models.audio_cues_video import get_triple_model
+from multimodal_lipread_tpu.models.audio_cues_video import FROZEN_PARAM_PREFIXES
 from multimodal_lipread_tpu.pipelines.common import (
     load_pretrained_backbones,
     compute_logmel_features,
@@ -109,23 +110,29 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
         cache_dir=cfg.get("dataset.cache_dir"),
     )
     num_classes = cfg.get("dataset.num_classes", len(classes))
-    model_name = cfg.get("model.name", "late_fusion_mobile")
+    # reference schema first (acv_config.yaml uses train.model_name/batch/lr/
+    # epochs and train.metrics_dir/save_dir), extended keys as fallback
+    model_name = (cfg.get("train.model_name") or cfg.get("model.name")
+                  or "late_fusion_mobile")
 
     metrics_dir, ckpt_dir = default_dirs(cfg, "audio_cues_video")
+    metrics_dir = cfg.get("train.metrics_dir", metrics_dir)
+    ckpt_dir = cfg.get("train.save_dir", ckpt_dir)
     trainer = Trainer(
         get_triple_model(model_name, num_classes, dtype=_dtype(cfg)),
         TrainerConfig(
             model_name=model_name,
             num_classes=num_classes,
-            batch_size=cfg.get("training.batch_size", 8),
-            epochs=cfg.get("training.epochs", 10),
-            learning_rate=cfg.get("training.learning_rate", 1e-5),
-            weight_decay=cfg.get("training.weight_decay", 1e-5),
+            batch_size=cfg.get("train.batch", cfg.get("training.batch_size", 8)),
+            epochs=cfg.get("train.epochs", cfg.get("training.epochs", 10)),
+            learning_rate=cfg.get("train.lr", cfg.get("training.learning_rate", 1e-5)),
+            weight_decay=cfg.get("train.weight_decay", cfg.get("training.weight_decay", 1e-5)),
             scheduler_factor=1.0,  # reference triple trainer has no scheduler
             seed=cfg.get("training.seed", 0),
             metrics_dir=metrics_dir,
             checkpoints_dir=ckpt_dir,
             test_every_epoch=True,
+            frozen_param_prefixes=FROZEN_PARAM_PREFIXES.get(model_name, ()),
             rolling_checkpoint=True,  # reference: audio_cues_video/train.py:179-187
         ),
     )

@@ -19,6 +19,7 @@ from multimodal_lipread_tpu.config import Config
 from multimodal_lipread_tpu.data.cues import embed_cached, load_cue_records, records_by_key
 from multimodal_lipread_tpu.data.glips import SPLITS, scan_lip_regions
 from multimodal_lipread_tpu.models.cues_video import get_cues_video_model
+from multimodal_lipread_tpu.models.cues_video import FROZEN_PARAM_PREFIXES
 from multimodal_lipread_tpu.pipelines.common import default_dirs, load_lip_sequences, parse_cli
 from multimodal_lipread_tpu.pipelines.video import resolve_lip_root
 from multimodal_lipread_tpu.pipelines.common import load_pretrained_backbones
@@ -87,18 +88,23 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
         cache_dir=cfg.get("dataset.cache_dir"),
     )
     num_classes = cfg.get("dataset.num_classes", len(classes))
-    model_name = cfg.get("model.name", "middle_fusion_mobile")
+    # reference schema first (cv_config.yaml uses train.model_name/batch/lr/
+    # epochs and train.metrics_dir/save_dir), extended keys as fallback
+    model_name = (cfg.get("train.model_name") or cfg.get("model.name")
+                  or "middle_fusion_mobile")
 
     metrics_dir, ckpt_dir = default_dirs(cfg, "cues_video")
+    metrics_dir = cfg.get("train.metrics_dir", metrics_dir)
+    ckpt_dir = cfg.get("train.save_dir", ckpt_dir)
     trainer = Trainer(
         get_cues_video_model(model_name, num_classes, dtype=_dtype(cfg)),
         TrainerConfig(
             model_name=model_name,
             num_classes=num_classes,
-            batch_size=cfg.get("training.batch_size", 8),
-            epochs=cfg.get("training.epochs", 10),
-            learning_rate=cfg.get("training.learning_rate", 1e-4),
-            weight_decay=cfg.get("training.weight_decay", 1e-5),
+            batch_size=cfg.get("train.batch", cfg.get("training.batch_size", 8)),
+            epochs=cfg.get("train.epochs", cfg.get("training.epochs", 10)),
+            learning_rate=cfg.get("train.lr", cfg.get("training.learning_rate", 1e-4)),
+            weight_decay=cfg.get("train.weight_decay", cfg.get("training.weight_decay", 1e-5)),
             scheduler_mode="min",  # reference: cues_video plateau-min scheduler
             scheduler_factor=0.5,
             scheduler_patience=5,
@@ -106,6 +112,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             metrics_dir=metrics_dir,
             checkpoints_dir=ckpt_dir,
             test_every_epoch=True,
+            frozen_param_prefixes=FROZEN_PARAM_PREFIXES.get(model_name, ()),
         ),
     )
     trainer.init_state(datasets["train"].inputs)

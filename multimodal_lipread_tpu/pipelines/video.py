@@ -27,12 +27,21 @@ from multimodal_lipread_tpu.train.trainer import Trainer, TrainerConfig
 
 def resolve_lip_root(cfg: Config) -> str:
     """Derive the lip-regions directory the way the reference does
-    (video/data_utils/dataset_loader.py:133-139), or use an explicit one."""
+    (video/data_utils/dataset_loader.py:133-139), or use an explicit one.
+
+    The mirror tree replicates the source layout: with a
+    ``<root>/lipread_files`` wrapper the .npy files live under
+    ``<root>_lip_regions/lipread_files``; without one they live directly
+    under ``<root>_lip_regions``."""
     explicit = cfg.get("dataset.lip_regions_root")
     if explicit:
         return explicit
     root = cfg.get("dataset.root_dir")
-    return os.path.join(lip_regions_root(root), os.path.basename(lipread_files_dir(root)))
+    mirror = lip_regions_root(root)
+    base = lipread_files_dir(root)
+    if os.path.normpath(base) == os.path.normpath(root):
+        return mirror  # no lipread_files wrapper in the source tree
+    return os.path.join(mirror, os.path.basename(base))
 
 
 def _maybe_plot(cfg, metrics_dir: str) -> None:

@@ -93,6 +93,9 @@ class TrainerConfig:
     mixup_alpha: float = 0.0  # >0 enables batch mixup (full batches only)
     remat: bool = False  # jax.checkpoint the forward: trade FLOPs for HBM
     checkpoint_backend: str = "msgpack"  # 'msgpack' (single file) or 'orbax'
+    # param-path prefixes excluded from ALL optimizer updates (weight decay
+    # included) — torch requires_grad=False semantics for frozen encoders
+    frozen_param_prefixes: Tuple[Tuple[str, ...], ...] = ()
 
 
 @dataclasses.dataclass
@@ -136,12 +139,25 @@ class Trainer:
     # ------------------------------------------------------------------ setup
 
     def _make_tx(self) -> optax.GradientTransformation:
+        frozen = tuple(tuple(p) for p in self.config.frozen_param_prefixes)
+
+        def trainable_mask(params):
+            def rec(tree, path):
+                if isinstance(tree, dict) or hasattr(tree, "items"):
+                    return {k: rec(v, path + (k,)) for k, v in tree.items()}
+                return not any(path[: len(p)] == p for p in frozen)
+
+            return rec(params, ())
+
         def tx_fn(learning_rate):
-            return optax.chain(
+            base = optax.chain(
                 optax.add_decayed_weights(self.config.weight_decay),
                 optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
                 optax.scale(-learning_rate),
             )
+            # frozen subtrees get NO update at all (decay included) — the
+            # equivalent of torch's requires_grad=False param exclusion
+            return optax.masked(base, trainable_mask) if frozen else base
 
         return optax.inject_hyperparams(tx_fn)(learning_rate=self.config.learning_rate)
 
@@ -291,7 +307,11 @@ class Trainer:
             weights = np.zeros((bs,), np.float32)
             weights[:k] = 1.0
             if k < bs:
-                idx = np.concatenate([idx, np.zeros(bs - k, idx.dtype)])
+                # pad with REAL examples at weight 0: loss/metrics ignore
+                # them, but BatchNorm statistics stay clean (zero rows would
+                # bias the batch means during training)
+                fill = order[: bs - k] if n >= bs else np.resize(order, bs - k)
+                idx = np.concatenate([idx, fill.astype(idx.dtype)])
             inputs = tuple(
                 jax.device_put(a[idx], self._batch_sharding) for a in ds.inputs
             )
@@ -355,7 +375,13 @@ class Trainer:
         return load_checkpoint(path, template)
 
     def _set_lr(self, lr: float) -> None:
-        self.state["opt_state"].hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        # keep the replicated sharding of the existing leaf — a plain
+        # jnp.asarray would be single-device and force a recompile on meshes
+        old = self.state["opt_state"].hyperparams["learning_rate"]
+        new = jnp.asarray(lr, jnp.float32)
+        if hasattr(old, "sharding"):
+            new = jax.device_put(new, old.sharding)
+        self.state["opt_state"].hyperparams["learning_rate"] = new
 
     def fit(
         self,
@@ -379,6 +405,9 @@ class Trainer:
             "state": jax.tree_util.tree_map(np.asarray, self.state),
             "val_acc": 0.0,
             "scheduler_lr": float(self.scheduler.lr),
+            "scheduler_best": 0.0,
+            "scheduler_has_best": False,
+            "scheduler_bad_epochs": 0,
         }
         rolling_path = self._ckpt_path("checkpoint")
         best_path = self._ckpt_path("best")
@@ -388,6 +417,13 @@ class Trainer:
             start_epoch = int(ckpt["epoch"]) + 1
             best_val_acc = float(ckpt["val_acc"])
             self.scheduler.lr = float(ckpt["scheduler_lr"])
+            # restore the FULL plateau state so a resumed run reduces the LR
+            # exactly when an uninterrupted run would have
+            self.scheduler.best = (
+                float(ckpt["scheduler_best"]) if bool(ckpt["scheduler_has_best"]) else None
+            )
+            self.scheduler.num_bad_epochs = int(ckpt["scheduler_bad_epochs"])
+            self._set_lr(self.scheduler.lr)
             if progress:
                 progress(f"Resumed from {rolling_path} at epoch {start_epoch}")
 
@@ -439,6 +475,9 @@ class Trainer:
                 "state": jax.tree_util.tree_map(np.asarray, self.state),
                 "val_acc": float(va.acc),
                 "scheduler_lr": float(self.scheduler.lr),
+                "scheduler_best": float(self.scheduler.best if self.scheduler.best is not None else 0.0),
+                "scheduler_has_best": self.scheduler.best is not None,
+                "scheduler_bad_epochs": int(self.scheduler.num_bad_epochs),
             }
             if va.acc > best_val_acc:
                 best_val_acc = va.acc

@@ -56,14 +56,17 @@ inline uint32_t rd_u32(const uint8_t* p) {
 inline uint16_t rd_u16(const uint8_t* p) { return p[0] | (p[1] << 8); }
 
 // Decode a PCM16 RIFF/WAVE file into float32 (int16-range), mono-downmixed,
-// padded/truncated to target_samples. Returns false on parse failure.
-bool decode_wav(const char* path, int target_samples, float* out) {
+// padded/truncated to target_samples. Returns false on parse failure or when
+// the file's sample rate differs from expected_rate (so callers fall back to
+// a resampling decode path instead of silently training on mis-rated audio).
+bool decode_wav(const char* path, int target_samples, int expected_rate, float* out) {
     std::vector<uint8_t> buf;
     if (!read_file(path, buf) || buf.size() < 44) return false;
     if (std::memcmp(buf.data(), "RIFF", 4) != 0 || std::memcmp(buf.data() + 8, "WAVE", 4) != 0)
         return false;
 
     uint16_t channels = 0, bits = 0, format = 0;
+    uint32_t sample_rate = 0;
     const uint8_t* data = nullptr;
     uint32_t data_len = 0;
 
@@ -74,6 +77,7 @@ bool decode_wav(const char* path, int target_samples, float* out) {
         if (std::memcmp(chunk, "fmt ", 4) == 0 && pos + 8 + 16 <= buf.size()) {
             format = rd_u16(chunk + 8);
             channels = rd_u16(chunk + 10);
+            sample_rate = rd_u32(chunk + 12);
             bits = rd_u16(chunk + 22);
         } else if (std::memcmp(chunk, "data", 4) == 0) {
             data = chunk + 8;
@@ -84,6 +88,7 @@ bool decode_wav(const char* path, int target_samples, float* out) {
         pos += 8 + chunk_len + (chunk_len & 1);  // chunks are word-aligned
     }
     if (!data || format != 1 || bits != 16 || channels == 0) return false;
+    if (expected_rate > 0 && sample_rate != uint32_t(expected_rate)) return false;
 
     const int16_t* samples = reinterpret_cast<const int16_t*>(data);
     long long n_frames = static_cast<long long>(data_len) / (2 * channels);
@@ -162,12 +167,13 @@ void parallel_for(long long n, int n_threads, Fn fn) {
 extern "C" {
 
 // Decode n WAV files into out[n * target_samples] float32, in parallel.
+// expected_rate > 0 enforces a sample rate (mismatches count as failures).
 long long mlt_load_wav_batch(const char** paths, long long n, int target_samples,
-                             float* out, int n_threads) {
+                             int expected_rate, float* out, int n_threads) {
     Result res;
     parallel_for(n, n_threads, [&](long long i) {
         float* dst = out + i * target_samples;
-        if (!decode_wav(paths[i], target_samples, dst)) {
+        if (!decode_wav(paths[i], target_samples, expected_rate, dst)) {
             std::memset(dst, 0, sizeof(float) * target_samples);
             res.fail(i);
         }

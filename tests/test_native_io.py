@@ -73,3 +73,13 @@ def test_native_npy_wrong_dtype_returns_none(lib, tmp_path):
     p = str(tmp_path / "f32.npy")
     np.save(p, np.zeros((2, 2), np.float32))
     assert load_npy_u8_batch([p], (2, 2)) is None
+
+
+def test_native_wav_rejects_wrong_sample_rate(lib, tmp_path):
+    """A 44.1 kHz WAV must be rejected (caller resamples via ffmpeg path)."""
+    p = str(tmp_path / "hi_rate.wav")
+    write_wav(p, np.ones(1000, np.float32) * 100, sample_rate=44100)
+    assert load_wav_batch([p], sample_rate=16000) is None
+    # and accepted when the expected rate matches
+    out = load_wav_batch([p], sample_rate=44100)
+    assert out is not None and out.shape == (1, 20000)
