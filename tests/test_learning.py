@@ -45,3 +45,26 @@ def test_cue_classifier_generalizes(glips_root, tmp_path):
     )
     result = cues_main(cfg)
     assert result["best_val_acc"] >= 75.0, result
+
+
+def test_video_model_generalizes(tmp_path):
+    """The video path (uint8 lips → device normalize → CNN) must learn the
+    class-conditional synthetic lip textures."""
+    from multimodal_lipread_tpu.pipelines.video import main as video_main
+
+    root = tmp_path / "GLips_vid"
+    make_synthetic_glips(str(root), words=DEFAULT_WORDS, clips_per_split=12, seed=2,
+                         with_audio=False, with_cues=False)
+    cfg = Config.from_dict(
+        {
+            "dataset": {"root_dir": str(root), "num_classes": 4},
+            "model": {"name": "cnn"},
+            # BatchNorm running stats need several epochs to settle on this
+            # tiny fixture; held-out accuracy reaches 75% around epoch 5-6
+            "training": {"batch_size": 16, "epochs": 8, "learning_rate": 1e-3,
+                         "weight_decay": 1e-5, "seed": 0},
+            "output": {"base_dir": str(tmp_path / "run"), "plots": False},
+        }
+    )
+    result = video_main(cfg)
+    assert result["final_test_acc"] >= 70.0, result
