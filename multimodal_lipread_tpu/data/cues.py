@@ -183,9 +183,15 @@ class SentenceTransformerEmbedder:
 
 
 def get_embedder(model: str = "mpnet", allow_fallback: bool = True):
-    """Best available embedder for a model name ('minilm'|'mpnet'|'ensemble'
-    or a full sentence-transformers name)."""
+    """Best available SENTENCE embedder ('minilm'|'mpnet'|'ensemble' or a
+    full sentence-transformers name). Token-only models ('distilbert') are
+    rejected here — use get_token_embedder."""
     model = canonical_embed_model(model)
+    if model not in _ST_NAMES and model != "ensemble":
+        raise ValueError(
+            f"'{model}' is not a sentence-embedding model; "
+            f"choose from {sorted(_ST_NAMES) + ['ensemble']}"
+        )
     try:
         return SentenceTransformerEmbedder(model)
     except ValueError:
@@ -199,6 +205,10 @@ def get_embedder(model: str = "mpnet", allow_fallback: bool = True):
 def get_token_embedder(model: str = "mpnet", max_length: int = 32, allow_fallback: bool = True):
     """Token-level embedder returning (N, max_length, D) arrays."""
     model = canonical_embed_model(model)
+    if model not in _TOKEN_MODEL_NAMES:
+        raise ValueError(
+            f"'{model}' has no token-level backend; choose from {sorted(_TOKEN_MODEL_NAMES)}"
+        )
     try:
         import torch
         from transformers import AutoModel, AutoTokenizer
@@ -233,10 +243,16 @@ def get_token_embedder(model: str = "mpnet", max_length: int = 32, allow_fallbac
 
 
 def _cache_key(descriptions: Sequence[str], model: str) -> str:
+    # length-prefix every field: without delimiters ['ab','c'] and ['a','bc']
+    # would collide on the same digest
     h = hashlib.md5()
+    h.update(f"{len(model)}:".encode())
     h.update(model.encode())
+    h.update(f"n={len(descriptions)};".encode())
     for d in descriptions:
-        h.update(d.encode())
+        b = d.encode()
+        h.update(f"{len(b)}:".encode())
+        h.update(b)
     return h.hexdigest()
 
 
@@ -258,7 +274,8 @@ def embed_cached(
     if embedder is None:
         embedder = get_token_embedder(model, max_length) if token_level else get_embedder(model)
     backend = getattr(embedder, "cache_tag", type(embedder).__name__)
-    tag = f"{model}{'_tok' if token_level else ''}_{backend}"
+    # max_length is part of the token-level output shape → part of the key
+    tag = f"{model}{f'_tok{max_length}' if token_level else ''}_{backend}"
     if cache_dir:
         os.makedirs(cache_dir, exist_ok=True)
         path = os.path.join(cache_dir, f"cue_emb_{tag}_{_cache_key(descriptions, tag)}.npz")

@@ -27,7 +27,15 @@ from multimodal_lipread_tpu.train.checkpoint import load_checkpoint, load_checkp
 
 def _load_state(ckpt_path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     if ckpt_path.endswith(".orbax"):
-        return load_checkpoint_orbax(ckpt_path, template)
+        # restore WITHOUT a template: orbax rejects subset templates (the
+        # trainer checkpoint also holds opt_state/scheduler fields serving
+        # doesn't model), so take the raw tree and let the caller pick keys
+        import orbax.checkpoint as ocp
+
+        import os as _os
+
+        with ocp.StandardCheckpointer() as ckptr:
+            return ckptr.restore(_os.path.abspath(ckpt_path))
     return load_checkpoint(ckpt_path, template)
 
 
@@ -124,11 +132,17 @@ def predict_audio_clips(
         decode_waveforms,
     )
 
+    import jax.numpy as _jnp
+
     num_classes = config.get("dataset.num_classes", 4)
     input_size = config.get("dataset.input_size", 117)
+    # rebuild the model EXACTLY as the training pipeline did — a mismatched
+    # use_batchnorm/dtype changes the param tree and the restore fails
     model = get_audio_model(
         config.get("model.name", "resnet"), num_classes,
         input_size=input_size, version=config.get("model.version", 16),
+        use_batchnorm=config.get("model.use_batchnorm", True),
+        dtype=_jnp.bfloat16 if str(config.get("model.dtype", "float32")) == "bfloat16" else _jnp.float32,
     )
     classes = None
     root = config.get("dataset.root_dir")

@@ -149,15 +149,26 @@ class Trainer:
 
             return rec(params, ())
 
+        def label_fn(params):
+            # 'train' / 'frozen' labels per leaf for optax.multi_transform
+            mask = trainable_mask(params)
+            return jax.tree_util.tree_map(lambda m: "train" if m else "frozen", mask)
+
         def tx_fn(learning_rate):
             base = optax.chain(
                 optax.add_decayed_weights(self.config.weight_decay),
                 optax.scale_by_adam(b1=0.9, b2=0.999, eps=1e-8),
                 optax.scale(-learning_rate),
             )
-            # frozen subtrees get NO update at all (decay included) — the
-            # equivalent of torch's requires_grad=False param exclusion
-            return optax.masked(base, trainable_mask) if frozen else base
+            if not frozen:
+                return base
+            # frozen subtrees get a LITERAL zero update (decay included) —
+            # torch requires_grad=False semantics. NOTE: optax.masked would
+            # pass the RAW gradient through for masked-out leaves (ascent!),
+            # so multi_transform with set_to_zero is required here.
+            return optax.multi_transform(
+                {"train": base, "frozen": optax.set_to_zero()}, label_fn
+            )
 
         return optax.inject_hyperparams(tx_fn)(learning_rate=self.config.learning_rate)
 
@@ -408,6 +419,7 @@ class Trainer:
             "scheduler_best": 0.0,
             "scheduler_has_best": False,
             "scheduler_bad_epochs": 0,
+            "best_val_acc": -1.0,
         }
         rolling_path = self._ckpt_path("checkpoint")
         best_path = self._ckpt_path("best")
@@ -423,6 +435,10 @@ class Trainer:
                 float(ckpt["scheduler_best"]) if bool(ckpt["scheduler_has_best"]) else None
             )
             self.scheduler.num_bad_epochs = int(ckpt["scheduler_bad_epochs"])
+            # the rolling checkpoint's val_acc is the LAST epoch's, not the
+            # best — restore the true running best so a resumed run never
+            # overwrites the best checkpoint with a worse model
+            best_val_acc = float(ckpt["best_val_acc"])
             self._set_lr(self.scheduler.lr)
             if progress:
                 progress(f"Resumed from {rolling_path} at epoch {start_epoch}")
@@ -470,20 +486,26 @@ class Trainer:
                     msg += f" test {te.loss:.4f}/{te.acc:.2f}%"
                 progress(msg + f" lr {new_lr:.2e} ({time.time() - t0:.1f}s)")
 
-            ckpt = {
-                "epoch": epoch,
-                "state": jax.tree_util.tree_map(np.asarray, self.state),
-                "val_acc": float(va.acc),
-                "scheduler_lr": float(self.scheduler.lr),
-                "scheduler_best": float(self.scheduler.best if self.scheduler.best is not None else 0.0),
-                "scheduler_has_best": self.scheduler.best is not None,
-                "scheduler_bad_epochs": int(self.scheduler.num_bad_epochs),
-            }
-            if va.acc > best_val_acc:
+            is_best = va.acc > best_val_acc
+            if is_best:
                 best_val_acc = va.acc
-                self._save_ckpt(best_path, ckpt)
-            if cfg.rolling_checkpoint:
-                self._save_ckpt(rolling_path, ckpt)
+            if is_best or cfg.rolling_checkpoint:
+                # gathering the full state (params + Adam moments) to host is
+                # 3x model size — only do it when a checkpoint will be written
+                ckpt = {
+                    "epoch": epoch,
+                    "state": jax.tree_util.tree_map(np.asarray, self.state),
+                    "val_acc": float(va.acc),
+                    "scheduler_lr": float(self.scheduler.lr),
+                    "scheduler_best": float(self.scheduler.best if self.scheduler.best is not None else 0.0),
+                    "scheduler_has_best": self.scheduler.best is not None,
+                    "scheduler_bad_epochs": int(self.scheduler.num_bad_epochs),
+                    "best_val_acc": float(best_val_acc),
+                }
+                if is_best:
+                    self._save_ckpt(best_path, ckpt)
+                if cfg.rolling_checkpoint:
+                    self._save_ckpt(rolling_path, ckpt)
 
         result: Dict[str, Any] = {"history": history, "best_val_acc": best_val_acc}
         if test_ds is not None and os.path.exists(best_path):

@@ -109,10 +109,45 @@ bool decode_wav(const char* path, int target_samples, int expected_rate, float* 
 
 // ---------------------------------------------------------------- NPY loader
 
-// Minimal .npy v1/v2 parser for C-contiguous uint8 arrays.
+// Parse "'shape': (a, b, ...)" from an npy header dict; returns the element
+// count or -1 on parse failure.
+long long parse_npy_shape_elems(const std::string& header) {
+    size_t key = header.find("'shape'");
+    if (key == std::string::npos) return -1;
+    size_t open = header.find('(', key);
+    size_t close = header.find(')', open);
+    if (open == std::string::npos || close == std::string::npos) return -1;
+    long long elems = 1;
+    long long current = -1;
+    bool any = false;
+    for (size_t i = open + 1; i < close; ++i) {
+        char c = header[i];
+        if (c >= '0' && c <= '9') {
+            current = (current < 0 ? 0 : current) * 10 + (c - '0');
+        } else if (c == ',' || c == ' ') {
+            if (current >= 0) {
+                elems *= current;
+                any = true;
+                current = -1;
+            }
+        } else {
+            return -1;
+        }
+    }
+    if (current >= 0) {
+        elems *= current;
+        any = true;
+    }
+    return any ? elems : 1;  // '()' scalar → 1 element
+}
+
+// Minimal .npy v1/v2 parser for C-contiguous uint8 arrays. Rejects files
+// whose declared shape does not hold exactly expected_elems elements —
+// loading the leading bytes of a differently-shaped array would yield
+// silently scrambled data.
 bool load_npy_u8(const char* path, long long expected_elems, float scale, float* out) {
     std::vector<uint8_t> buf;
-    if (!read_file(path, buf) || buf.size() < 10) return false;
+    if (!read_file(path, buf) || buf.size() < 12) return false;
     static const uint8_t magic[6] = {0x93, 'N', 'U', 'M', 'P', 'Y'};
     if (std::memcmp(buf.data(), magic, 6) != 0) return false;
     uint8_t major = buf[6];
@@ -121,7 +156,7 @@ bool load_npy_u8(const char* path, long long expected_elems, float scale, float*
         header_len = rd_u16(buf.data() + 8);
         header_off = 10;
     } else {
-        header_len = rd_u32(buf.data() + 8);
+        header_len = rd_u32(buf.data() + 8);  // safe: buf.size() >= 12 checked above
         header_off = 12;
     }
     if (header_off + header_len > buf.size()) return false;
@@ -129,6 +164,7 @@ bool load_npy_u8(const char* path, long long expected_elems, float scale, float*
     if (header.find("'|u1'") == std::string::npos && header.find("'uint8'") == std::string::npos)
         return false;
     if (header.find("'fortran_order': True") != std::string::npos) return false;
+    if (parse_npy_shape_elems(header) != expected_elems) return false;
 
     size_t data_off = header_off + header_len;
     long long available = static_cast<long long>(buf.size() - data_off);

@@ -83,3 +83,18 @@ def test_native_wav_rejects_wrong_sample_rate(lib, tmp_path):
     # and accepted when the expected rate matches
     out = load_wav_batch([p], sample_rate=44100)
     assert out is not None and out.shape == (1, 20000)
+
+
+def test_native_npy_rejects_wrong_shape(lib, tmp_path):
+    """A differently-shaped array with enough bytes must be rejected, not
+    silently reinterpreted."""
+    p = str(tmp_path / "wrong_shape.npy")
+    np.save(p, np.zeros((29, 48, 48, 3), np.uint8))  # bigger than expected
+    assert load_npy_u8_batch([p], (29, 44, 44, 3)) is None
+
+
+def test_native_npy_truncated_file_safe(lib, tmp_path):
+    p = str(tmp_path / "trunc.npy")
+    with open(p, "wb") as f:
+        f.write(b"\x93NUMPY\x02\x00\x10\x00")  # 10-byte v2 header stub
+    assert load_npy_u8_batch([p], (2, 2)) is None

@@ -162,3 +162,88 @@ def test_reference_cv_config_schema_honored(glips_root, tmp_path):
     result = main(cfg)
     assert len(result["history"]) == 1  # train.epochs honored
     assert os.path.exists(tmp_path / "cv" / "models_trained" / "late_fusion_mobile_best.msgpack")
+
+
+def test_frozen_params_zero_update_even_with_nonzero_grads(tmp_path):
+    """frozen_param_prefixes must zero the update even when the frozen leaves
+    HAVE gradients (optax.masked would pass raw grads through — ascent)."""
+    from flax import linen as nn
+
+    class TwoPart(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            h = nn.Dense(8, name="frozen_enc")(x)  # NO stop_gradient
+            return nn.Dense(4, name="head")(h)
+
+    ds = _tiny_ds()
+    trainer = Trainer(
+        TwoPart(),
+        TrainerConfig(
+            model_name="frz2", num_classes=4, batch_size=16, epochs=1,
+            learning_rate=1e-2, weight_decay=1e-2,
+            frozen_param_prefixes=(("frozen_enc",),), test_every_epoch=False,
+            metrics_dir=str(tmp_path / "m"), checkpoints_dir=str(tmp_path / "c"),
+        ),
+    )
+    trainer.init_state(ds.inputs)
+    before = np.asarray(trainer.state["params"]["frozen_enc"]["kernel"]).copy()
+    trainer.fit(ds, ds, progress=None)
+    after = np.asarray(trainer.state["params"]["frozen_enc"]["kernel"])
+    np.testing.assert_array_equal(before, after)
+
+
+def test_resume_keeps_true_best_val_acc(tmp_path):
+    """best_val_acc must survive resume even when the last epoch was worse."""
+    from flax import linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            return nn.Dense(4)(x)
+
+    ds = _tiny_ds(48)
+    val = _tiny_ds(16, seed=1)
+
+    def make(epochs):
+        return Trainer(
+            Tiny(),
+            TrainerConfig(
+                model_name="best", num_classes=4, batch_size=16, epochs=epochs,
+                learning_rate=5e-2, weight_decay=0.0, rolling_checkpoint=True,
+                test_every_epoch=False,
+                metrics_dir=str(tmp_path / "m"), checkpoints_dir=str(tmp_path / "c"),
+            ),
+        )
+
+    r1 = make(3).fit(ds, val, progress=None)
+    t2 = make(4)
+    r2 = t2.fit(ds, val, resume=True, progress=None)
+    assert r2["best_val_acc"] >= r1["best_val_acc"]  # never forgets the best
+
+
+def test_embed_cache_key_includes_max_length(tmp_path):
+    from multimodal_lipread_tpu.data.cues import HashingEmbedder, embed_cached
+
+    descs = ["alpha beta gamma"]
+    e = HashingEmbedder(64)
+    a = embed_cached(descs, "mpnet", cache_dir=str(tmp_path), embedder=e,
+                     token_level=True, max_length=8)
+    b = embed_cached(descs, "mpnet", cache_dir=str(tmp_path), embedder=e,
+                     token_level=True, max_length=16)
+    assert a.shape[1] == 8 and b.shape[1] == 16  # no cache collision
+
+
+def test_embed_cache_key_delimits_descriptions(tmp_path):
+    from multimodal_lipread_tpu.data.cues import HashingEmbedder, embed_cached
+
+    e = HashingEmbedder(32)
+    a = embed_cached(["ab", "c"], "mpnet", cache_dir=str(tmp_path), embedder=e)
+    b = embed_cached(["a", "bc"], "mpnet", cache_dir=str(tmp_path), embedder=e)
+    assert not np.allclose(a, b)  # distinct cache entries, correct contents
+
+
+def test_token_only_model_rejected_for_sentence_embedding():
+    from multimodal_lipread_tpu.data.cues import get_embedder
+
+    with pytest.raises(ValueError, match="not a sentence-embedding model"):
+        get_embedder("distilbert")

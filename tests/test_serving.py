@@ -73,3 +73,57 @@ def test_stablehlo_export_roundtrip(glips_root, tmp_path):
     out = reloaded.call(jnp.asarray(mel))
     ref = model.apply(variables, mel, train=False)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-6)
+
+
+def test_predictor_from_orbax_checkpoint(tmp_path):
+    """Serving must restore trainer-written .orbax checkpoints (raw restore,
+    no subset template)."""
+    import numpy as np
+    from flax import linen as nn
+
+    from multimodal_lipread_tpu.train.trainer import ArrayDataset, Trainer, TrainerConfig
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            return nn.Dense(4)(x)
+
+    rng = np.random.default_rng(0)
+    ds = ArrayDataset(inputs=(rng.standard_normal((32, 16)).astype(np.float32),),
+                      labels=rng.integers(0, 4, 32).astype(np.int32))
+    trainer = Trainer(
+        Tiny(),
+        TrainerConfig(
+            model_name="srv", num_classes=4, batch_size=16, epochs=1,
+            learning_rate=1e-2, checkpoint_backend="orbax", test_every_epoch=False,
+            metrics_dir=str(tmp_path / "m"), checkpoints_dir=str(tmp_path / "c"),
+        ),
+    )
+    trainer.fit(ds, ds, progress=None)
+    ckpt = str(tmp_path / "c" / "srv_best.orbax")
+    assert os.path.isdir(ckpt)
+
+    p = Predictor.from_checkpoint(Tiny(), ckpt, ds.inputs, batch_size=8)
+    preds = p.predict(ds.inputs[0])
+    assert preds.shape == (32,)
+
+
+def test_serving_rebuilds_no_batchnorm_models(glips_root, tmp_path):
+    """models_without_reg checkpoints (use_batchnorm=False) must be servable."""
+    from multimodal_lipread_tpu.pipelines.audio import main as audio_main
+
+    cfg = Config.from_dict(
+        {
+            "dataset": {"root_dir": glips_root, "num_classes": 4, "input_size": 117},
+            "model": {"name": "resnet", "use_batchnorm": False},
+            "training": {"batch_size": 16, "epochs": 1, "learning_rate": 1e-3,
+                         "weight_decay": 1e-4, "seed": 0},
+            "output": {"base_dir": str(tmp_path / "run"), "plots": False},
+        }
+    )
+    audio_main(cfg)
+    ckpt = str(tmp_path / "run" / "models_trained" / "resnet_best.msgpack")
+    index = scan_glips(glips_root, exts=AUDIO_EXTS)
+    clips = [e.path for e in index.by_split("test")][:3]
+    results = predict_audio_clips(cfg, ckpt, clips)
+    assert len(results) == 3
