@@ -19,6 +19,8 @@ from typing import Any, Dict
 from multimodal_lipread_tpu.config import Config
 from multimodal_lipread_tpu.models.audio import get_audio_model
 from multimodal_lipread_tpu.pipelines.common import (
+    maybe_plot,
+    model_dtype,
     load_pretrained_backbones,
     default_dirs,
     load_audio_datasets,
@@ -27,24 +29,6 @@ from multimodal_lipread_tpu.pipelines.common import (
 from multimodal_lipread_tpu.train.trainer import Trainer, TrainerConfig
 
 
-def _maybe_plot(cfg, metrics_dir: str) -> None:
-    """Write loss/accuracy PNGs after training (reference: visualize_metrics.py
-    per subsystem); disable with output.plots: false."""
-    if cfg.get("output.plots", True):
-        try:
-            from multimodal_lipread_tpu.utils.visualize import plot_logs
-
-            plot_logs(metrics_dir)
-        except Exception as e:  # plotting must never fail a run
-            print(f"plotting skipped: {e}")
-
-
-def _dtype(cfg):
-    """model.dtype: 'bfloat16' halves MXU cost (measured +32% train
-    throughput on TPU at these shapes); f32 loss/params regardless."""
-    import jax.numpy as jnp
-
-    return jnp.bfloat16 if str(cfg.get("model.dtype", "float32")) == "bfloat16" else jnp.float32
 
 
 def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
@@ -71,7 +55,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     model = get_audio_model(
         model_name, num_classes, input_size=input_size, version=version,
         use_batchnorm=cfg.get("model.use_batchnorm", True),
-        dtype=_dtype(cfg),
+        dtype=model_dtype(cfg),
     )
     metrics_dir, ckpt_dir = default_dirs(cfg, "audio")
     trainer = Trainer(
@@ -95,7 +79,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     trainer.init_state(datasets["train"].inputs)
     load_pretrained_backbones(trainer, cfg)
     result = trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
-    _maybe_plot(cfg, metrics_dir)
+    maybe_plot(cfg, metrics_dir)
     return result
 
 

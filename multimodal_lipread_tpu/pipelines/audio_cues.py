@@ -19,6 +19,8 @@ from multimodal_lipread_tpu.data.cues import embed_cached, load_cue_records, rec
 from multimodal_lipread_tpu.data.glips import AUDIO_EXTS, SPLITS, scan_glips
 from multimodal_lipread_tpu.models.audio_cues import get_audio_cues_model
 from multimodal_lipread_tpu.pipelines.common import (
+    maybe_plot,
+    model_dtype,
     load_pretrained_backbones,
     compute_logmel_features,
     decode_waveforms,
@@ -56,24 +58,6 @@ def load_audio_cue_datasets(
     return datasets, classes
 
 
-def _maybe_plot(cfg, metrics_dir: str) -> None:
-    """Write loss/accuracy PNGs after training (reference: visualize_metrics.py
-    per subsystem); disable with output.plots: false."""
-    if cfg.get("output.plots", True):
-        try:
-            from multimodal_lipread_tpu.utils.visualize import plot_logs
-
-            plot_logs(metrics_dir)
-        except Exception as e:  # plotting must never fail a run
-            print(f"plotting skipped: {e}")
-
-
-def _dtype(cfg):
-    """model.dtype: 'bfloat16' halves MXU cost (measured +32% train
-    throughput on TPU at these shapes); f32 loss/params regardless."""
-    import jax.numpy as jnp
-
-    return jnp.bfloat16 if str(cfg.get("model.dtype", "float32")) == "bfloat16" else jnp.float32
 
 
 def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
@@ -96,7 +80,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
 
     metrics_dir, ckpt_dir = default_dirs(cfg, "audio_cues")
     trainer = Trainer(
-        get_audio_cues_model(model_name, num_classes, dtype=_dtype(cfg)),
+        get_audio_cues_model(model_name, num_classes, dtype=model_dtype(cfg)),
         TrainerConfig(
             model_name=model_name,
             num_classes=num_classes,
@@ -114,7 +98,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     trainer.init_state(datasets["train"].inputs)
     load_pretrained_backbones(trainer, cfg)
     result = trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
-    _maybe_plot(cfg, metrics_dir)
+    maybe_plot(cfg, metrics_dir)
     return result
 
 

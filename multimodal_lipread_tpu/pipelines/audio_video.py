@@ -24,6 +24,8 @@ from multimodal_lipread_tpu.data.glips import (
 )
 from multimodal_lipread_tpu.models.audio_video import get_av_model
 from multimodal_lipread_tpu.pipelines.common import (
+    maybe_plot,
+    model_dtype,
     load_pretrained_backbones,
     compute_logmel_features,
     decode_waveforms,
@@ -59,24 +61,6 @@ def load_av_datasets(
     return datasets, classes
 
 
-def _maybe_plot(cfg, metrics_dir: str) -> None:
-    """Write loss/accuracy PNGs after training (reference: visualize_metrics.py
-    per subsystem); disable with output.plots: false."""
-    if cfg.get("output.plots", True):
-        try:
-            from multimodal_lipread_tpu.utils.visualize import plot_logs
-
-            plot_logs(metrics_dir)
-        except Exception as e:  # plotting must never fail a run
-            print(f"plotting skipped: {e}")
-
-
-def _dtype(cfg):
-    """model.dtype: 'bfloat16' halves MXU cost (measured +32% train
-    throughput on TPU at these shapes); f32 loss/params regardless."""
-    import jax.numpy as jnp
-
-    return jnp.bfloat16 if str(cfg.get("model.dtype", "float32")) == "bfloat16" else jnp.float32
 
 
 def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
@@ -93,7 +77,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     num_classes = cfg.get("dataset.num_classes", len(classes))
     model_name = cfg.get("model.name", "middle_fusion_mobilenet")
 
-    model = get_av_model(model_name, num_classes, dtype=_dtype(cfg))
+    model = get_av_model(model_name, num_classes, dtype=model_dtype(cfg))
     metrics_dir, ckpt_dir = default_dirs(cfg, "audio_video")
     trainer = Trainer(
         model,
@@ -114,7 +98,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     trainer.init_state(datasets["train"].inputs)
     load_pretrained_backbones(trainer, cfg)
     result = trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
-    _maybe_plot(cfg, metrics_dir)
+    maybe_plot(cfg, metrics_dir)
     return result
 
 

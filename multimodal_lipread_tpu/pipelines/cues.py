@@ -27,6 +27,7 @@ from multimodal_lipread_tpu.data.cues import (
 )
 from multimodal_lipread_tpu.models.cues import cue_embedding_kind, get_cue_model
 from multimodal_lipread_tpu.pipelines.common import default_dirs, parse_cli
+from multimodal_lipread_tpu.pipelines.common import maybe_plot, model_dtype
 from multimodal_lipread_tpu.train.trainer import ArrayDataset, Trainer, TrainerConfig
 
 
@@ -87,24 +88,6 @@ def load_cue_classification_data(
     return datasets, classes
 
 
-def _maybe_plot(cfg, metrics_dir: str) -> None:
-    """Write loss/accuracy PNGs after training (reference: visualize_metrics.py
-    per subsystem); disable with output.plots: false."""
-    if cfg.get("output.plots", True):
-        try:
-            from multimodal_lipread_tpu.utils.visualize import plot_logs
-
-            plot_logs(metrics_dir)
-        except Exception as e:  # plotting must never fail a run
-            print(f"plotting skipped: {e}")
-
-
-def _dtype(cfg):
-    """model.dtype: 'bfloat16' halves MXU cost (measured +32% train
-    throughput on TPU at these shapes); f32 loss/params regardless."""
-    import jax.numpy as jnp
-
-    return jnp.bfloat16 if str(cfg.get("model.dtype", "float32")) == "bfloat16" else jnp.float32
 
 
 def main(config: Config | str) -> Dict[str, Any]:
@@ -130,7 +113,7 @@ def main(config: Config | str) -> Dict[str, Any]:
     class_weights = balanced_class_weights(datasets["train"].labels, num_classes)
 
     metrics_dir, ckpt_dir = default_dirs(cfg, f"cues_{mode}")
-    model = get_cue_model(model_name, num_classes, dtype=_dtype(cfg))
+    model = get_cue_model(model_name, num_classes, dtype=model_dtype(cfg))
     trainer = Trainer(
         model,
         TrainerConfig(
@@ -150,7 +133,7 @@ def main(config: Config | str) -> Dict[str, Any]:
         ),
     )
     result = trainer.fit(datasets["train"], datasets["val"], datasets.get("test"))
-    _maybe_plot(cfg, metrics_dir)
+    maybe_plot(cfg, metrics_dir)
     return result
 
 

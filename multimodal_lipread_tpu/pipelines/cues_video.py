@@ -21,6 +21,7 @@ from multimodal_lipread_tpu.data.glips import SPLITS, scan_lip_regions
 from multimodal_lipread_tpu.models.cues_video import get_cues_video_model
 from multimodal_lipread_tpu.models.cues_video import FROZEN_PARAM_PREFIXES
 from multimodal_lipread_tpu.pipelines.common import default_dirs, load_lip_sequences, parse_cli
+from multimodal_lipread_tpu.pipelines.common import maybe_plot, model_dtype
 from multimodal_lipread_tpu.pipelines.video import resolve_lip_root
 from multimodal_lipread_tpu.pipelines.common import load_pretrained_backbones
 from multimodal_lipread_tpu.train.trainer import ArrayDataset, Trainer, TrainerConfig
@@ -52,24 +53,6 @@ def load_cue_video_datasets(
     return datasets, classes
 
 
-def _maybe_plot(cfg, metrics_dir: str) -> None:
-    """Write loss/accuracy PNGs after training (reference: visualize_metrics.py
-    per subsystem); disable with output.plots: false."""
-    if cfg.get("output.plots", True):
-        try:
-            from multimodal_lipread_tpu.utils.visualize import plot_logs
-
-            plot_logs(metrics_dir)
-        except Exception as e:  # plotting must never fail a run
-            print(f"plotting skipped: {e}")
-
-
-def _dtype(cfg):
-    """model.dtype: 'bfloat16' halves MXU cost (measured +32% train
-    throughput on TPU at these shapes); f32 loss/params regardless."""
-    import jax.numpy as jnp
-
-    return jnp.bfloat16 if str(cfg.get("model.dtype", "float32")) == "bfloat16" else jnp.float32
 
 
 def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
@@ -97,7 +80,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     metrics_dir = cfg.get("train.metrics_dir", metrics_dir)
     ckpt_dir = cfg.get("train.save_dir", ckpt_dir)
     trainer = Trainer(
-        get_cues_video_model(model_name, num_classes, dtype=_dtype(cfg)),
+        get_cues_video_model(model_name, num_classes, dtype=model_dtype(cfg)),
         TrainerConfig(
             model_name=model_name,
             num_classes=num_classes,
@@ -118,7 +101,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     trainer.init_state(datasets["train"].inputs)
     load_pretrained_backbones(trainer, cfg)
     result = trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
-    _maybe_plot(cfg, metrics_dir)
+    maybe_plot(cfg, metrics_dir)
     return result
 
 

@@ -21,6 +21,7 @@ from multimodal_lipread_tpu.config import Config
 from multimodal_lipread_tpu.data.glips import lip_regions_root, lipread_files_dir
 from multimodal_lipread_tpu.models.video import get_video_model
 from multimodal_lipread_tpu.pipelines.common import default_dirs, load_video_datasets, parse_cli
+from multimodal_lipread_tpu.pipelines.common import maybe_plot, model_dtype
 from multimodal_lipread_tpu.pipelines.common import load_pretrained_backbones
 from multimodal_lipread_tpu.train.trainer import Trainer, TrainerConfig
 
@@ -44,24 +45,6 @@ def resolve_lip_root(cfg: Config) -> str:
     return os.path.join(mirror, os.path.basename(base))
 
 
-def _maybe_plot(cfg, metrics_dir: str) -> None:
-    """Write loss/accuracy PNGs after training (reference: visualize_metrics.py
-    per subsystem); disable with output.plots: false."""
-    if cfg.get("output.plots", True):
-        try:
-            from multimodal_lipread_tpu.utils.visualize import plot_logs
-
-            plot_logs(metrics_dir)
-        except Exception as e:  # plotting must never fail a run
-            print(f"plotting skipped: {e}")
-
-
-def _dtype(cfg):
-    """model.dtype: 'bfloat16' halves MXU cost (measured +32% train
-    throughput on TPU at these shapes); f32 loss/params regardless."""
-    import jax.numpy as jnp
-
-    return jnp.bfloat16 if str(cfg.get("model.dtype", "float32")) == "bfloat16" else jnp.float32
 
 
 def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
@@ -79,7 +62,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     model = get_video_model(
         model_name,
         num_classes,
-        dtype=_dtype(cfg),
+        dtype=model_dtype(cfg),
         resnet_version=cfg.get("model.resnet_version", 18),
         shufflenet_version=cfg.get("model.shufflenet_version", "0.5x"),
         feature_dim=cfg.get("model.feature_dim"),
@@ -111,7 +94,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     trainer.init_state(datasets["train"].inputs)
     load_pretrained_backbones(trainer, cfg)
     result = trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
-    _maybe_plot(cfg, metrics_dir)
+    maybe_plot(cfg, metrics_dir)
 
     if "final_test_acc" in result:
         with open(os.path.join(ckpt_dir, "test_results.txt"), "w") as f:
