@@ -43,7 +43,7 @@ def bench_jax() -> float:
     n_chips = len(jax.devices())
     mesh = get_mesh()
     bsharding = batch_sharding(mesh)
-    batch = ((BATCH * n_chips + n_chips - 1) // n_chips) * n_chips
+    batch = BATCH * n_chips  # BATCH per chip
 
     # bf16 compute, f32 loss/params: +32% over f32 with honest device fencing
     # (an earlier f32-vs-bf16 comparison was inverted by the axon tunnel's

@@ -74,8 +74,10 @@ def lip_regions_root(root: str) -> str:
     """Mirror-tree location of preprocessed lip-region .npy files.
 
     Reference derivation (video/data_utils/dataset_loader.py:133-139):
-    sibling directory ``<root>_lip_regions``.
+    sibling directory ``<root>_lip_regions``. The root is normalized first —
+    a trailing slash would otherwise produce ``<root>/_lip_regions``.
     """
+    root = os.path.normpath(root)
     return os.path.join(os.path.dirname(root), os.path.basename(root) + "_lip_regions")
 
 

@@ -77,12 +77,18 @@ class TripleCueEncoder(nn.Module):
 
 
 class TripleVideoEncoder(nn.Module):
-    """Per-frame backbone + 1-layer BiLSTM, LAST step → (B, feature_dim)
-    (reference: early_fusion_mobile.py:78-122 MobileNetLSTM)."""
+    """Per-frame backbone + BiLSTM, LAST step → (B, feature_dim).
+
+    Reference parity: early variants and middle_fusion_resnet use FROZEN
+    backbones with a 1-layer BiLSTM (early_fusion_mobile.py:78-122,
+    middle_fusion_resnet.py:69-109); middle/late mobile and late resnet use
+    trainable backbones with 2-layer BiLSTMs (middle_fusion_mobile.py:34-55,
+    late_fusion_resnet.py:33-48)."""
 
     backbone: str = "mobilenet_v2"
     feature_dim: int = 256
     frozen: bool = False
+    lstm_layers: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -97,7 +103,7 @@ class TripleVideoEncoder(nn.Module):
         if self.frozen:
             feats = jax.lax.stop_gradient(feats)
         seq = feats.reshape(B, T, -1)
-        out = BiLSTM(self.feature_dim // 2, 1, dtype=self.dtype, name="lstm")(seq)
+        out = BiLSTM(self.feature_dim // 2, self.lstm_layers, dtype=self.dtype, name="lstm")(seq)
         return out[:, -1, :]
 
 
@@ -107,13 +113,16 @@ class MultimodalAttentionEarly(nn.Module):
 
     num_classes: int
     video_backbone: str = "mobilenet_v2"
+    frozen: bool = True
+    lstm_layers: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, mel, cue, lip, train: bool = False):
-        a = TripleAudioEncoder(frozen=True, dtype=self.dtype, name="audio")(mel, train)
+        a = TripleAudioEncoder(frozen=self.frozen, dtype=self.dtype, name="audio")(mel, train)
         c = TripleCueEncoder(dtype=self.dtype, name="cue")(cue, train)
-        v = TripleVideoEncoder(self.video_backbone, frozen=True, dtype=self.dtype,
+        v = TripleVideoEncoder(self.video_backbone, frozen=self.frozen,
+                               lstm_layers=self.lstm_layers, dtype=self.dtype,
                                name="video")(lip, train)
         a = nn.Dense(256, dtype=self.dtype, name="ap")(a)
         c = nn.Dense(256, dtype=self.dtype, name="cp")(c)
@@ -130,13 +139,17 @@ class MultimodalAttentionMiddle(nn.Module):
 
     num_classes: int
     video_backbone: str = "mobilenet_v2"
+    frozen: bool = False
+    lstm_layers: int = 2
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, mel, cue, lip, train: bool = False):
-        a = TripleAudioEncoder(dtype=self.dtype, name="audio")(mel, train)
+        a = TripleAudioEncoder(frozen=self.frozen, dtype=self.dtype, name="audio")(mel, train)
         c = TripleCueEncoder(dtype=self.dtype, name="cue")(cue, train)
-        v = TripleVideoEncoder(self.video_backbone, dtype=self.dtype, name="video")(lip, train)
+        v = TripleVideoEncoder(self.video_backbone, frozen=self.frozen,
+                               lstm_layers=self.lstm_layers, dtype=self.dtype,
+                               name="video")(lip, train)
         a = nn.Dense(256, dtype=self.dtype, name="ap")(a)
         v = nn.Dense(256, dtype=self.dtype, name="vp")(v)
         fused, _ = ModalityAttentionFusion(dtype=self.dtype, name="attn")([a, c, v])
@@ -154,13 +167,17 @@ class MultimodalAttentionLate(nn.Module):
 
     num_classes: int
     video_backbone: str = "mobilenet_v2"
+    frozen: bool = False
+    lstm_layers: int = 2
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, mel, cue, lip, train: bool = False):
-        a = TripleAudioEncoder(dtype=self.dtype, name="audio")(mel, train)
+        a = TripleAudioEncoder(frozen=self.frozen, dtype=self.dtype, name="audio")(mel, train)
         c = TripleCueEncoder(dtype=self.dtype, name="cue")(cue, train)
-        v = TripleVideoEncoder(self.video_backbone, dtype=self.dtype, name="video")(lip, train)
+        v = TripleVideoEncoder(self.video_backbone, frozen=self.frozen,
+                               lstm_layers=self.lstm_layers, dtype=self.dtype,
+                               name="video")(lip, train)
         a_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="afc")(a)
         c_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="cfc")(c)
         v_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="vfc")(v)
@@ -180,7 +197,8 @@ class MultimodalThreeNet(nn.Module):
     def __call__(self, mel, cue, lip, train: bool = False):
         a = TripleAudioEncoder(dtype=self.dtype, name="audio")(mel, train)
         c = TripleCueEncoder(dtype=self.dtype, name="cue")(cue, train)
-        v = TripleVideoEncoder("mobilenet_v2", dtype=self.dtype, name="video")(lip, train)
+        v = TripleVideoEncoder("mobilenet_v2", lstm_layers=2, dtype=self.dtype,
+                               name="video")(lip, train)
         fused = jnp.concatenate([a, c, v], axis=-1)
         x = nn.Dense(512, dtype=self.dtype, name="fc1")(fused)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -191,18 +209,21 @@ class MultimodalThreeNet(nn.Module):
 
 
 def get_triple_model(name: str, num_classes: int, dtype: Any = jnp.float32) -> nn.Module:
+    # reference parity table (freeze, lstm_layers):
+    #   early mobile/resnet + middle resnet → frozen encoders, 1-layer BiLSTM
+    #   middle/late mobile + late resnet    → trainable encoders, 2-layer BiLSTM
     if name == "early_fusion_mobile":
-        return MultimodalAttentionEarly(num_classes, "mobilenet_v2", dtype=dtype)
+        return MultimodalAttentionEarly(num_classes, "mobilenet_v2", True, 1, dtype=dtype)
     if name == "middle_fusion_mobile":
-        return MultimodalAttentionMiddle(num_classes, "mobilenet_v2", dtype=dtype)
+        return MultimodalAttentionMiddle(num_classes, "mobilenet_v2", False, 2, dtype=dtype)
     if name == "late_fusion_mobile":
-        return MultimodalAttentionLate(num_classes, "mobilenet_v2", dtype=dtype)
+        return MultimodalAttentionLate(num_classes, "mobilenet_v2", False, 2, dtype=dtype)
     if name == "early_fusion_resnet":
-        return MultimodalAttentionEarly(num_classes, "resnet18", dtype=dtype)
+        return MultimodalAttentionEarly(num_classes, "resnet18", True, 1, dtype=dtype)
     if name == "middle_fusion_resnet":
-        return MultimodalAttentionMiddle(num_classes, "resnet18", dtype=dtype)
+        return MultimodalAttentionMiddle(num_classes, "resnet18", True, 1, dtype=dtype)
     if name == "late_fusion_resnet":
-        return MultimodalAttentionLate(num_classes, "resnet18", dtype=dtype)
+        return MultimodalAttentionLate(num_classes, "resnet18", False, 2, dtype=dtype)
     if name == "test_model":
         return MultimodalThreeNet(num_classes, dtype=dtype)
     raise ValueError(f"Unknown audio_cues_video model: {name}")
@@ -213,6 +234,7 @@ def get_triple_model(name: str, num_classes: int, dtype: Any = jnp.float32) -> n
 FROZEN_PARAM_PREFIXES = {
     "early_fusion_mobile": (("audio", "resnet"), ("video", "cnn")),
     "early_fusion_resnet": (("audio", "resnet"), ("video", "cnn")),
+    "middle_fusion_resnet": (("audio", "resnet"), ("video", "cnn")),
 }
 
 

@@ -27,13 +27,19 @@ from multimodal_lipread_tpu.models.backbones import MobileNetV2, ResNet
 
 
 class VideoLSTMSeqEncoder(nn.Module):
-    """Per-frame backbone + 1-layer BiLSTM returning the FULL (B, T, D) sequence
-    (reference: cues_video/models/early_fusion_mobile.py:68-127 MobileNetLSTM,
-    early_fusion_resnet.py:25-50 ResNetLSTM)."""
+    """Per-frame backbone + BiLSTM returning the FULL (B, T, D) sequence.
+
+    Reference parity per variant family: the MOBILE encoders freeze the
+    MobileNet features and use a 1-layer BiLSTM
+    (cues_video/models/early_fusion_mobile.py:68-127,
+    middle_fusion_mobile.py:57-106); the RESNET encoders train the backbone
+    and use a 2-layer BiLSTM (early/middle/late_fusion_resnet.py ResNetLSTM).
+    """
 
     backbone: str = "mobilenet_v2"
     feature_dim: int = 256
     freeze_backbone: bool = False
+    lstm_layers: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -47,7 +53,7 @@ class VideoLSTMSeqEncoder(nn.Module):
         if self.freeze_backbone:
             feats = jax.lax.stop_gradient(feats)
         seq = feats.reshape(B, T, -1)
-        return BiLSTM(self.feature_dim // 2, 1, dtype=self.dtype, name="lstm")(seq)
+        return BiLSTM(self.feature_dim // 2, self.lstm_layers, dtype=self.dtype, name="lstm")(seq)
 
 
 class CrossModalAttention(nn.Module):
@@ -74,12 +80,14 @@ class EarlyAttentionFusion(nn.Module):
     num_classes: int
     backbone: str = "mobilenet_v2"
     freeze_backbone: bool = True
+    lstm_layers: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, cue, video, train: bool = False):
         vseq = VideoLSTMSeqEncoder(self.backbone, 256, self.freeze_backbone,
-                                   dtype=self.dtype, name="video_encoder")(video, train)
+                                   self.lstm_layers, dtype=self.dtype,
+                                   name="video_encoder")(video, train)
         c = nn.Dense(256, dtype=self.dtype, name="cue_proj")(cue)
         c = nn.relu(c)
         attended = CrossModalAttention(256, dtype=self.dtype, name="attn")(c, vseq)
@@ -96,12 +104,14 @@ class MiddleAttentionFusion(nn.Module):
     num_classes: int
     backbone: str = "mobilenet_v2"
     freeze_backbone: bool = False
+    lstm_layers: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, cue, video, train: bool = False):
         vseq = VideoLSTMSeqEncoder(self.backbone, 256, self.freeze_backbone,
-                                   dtype=self.dtype, name="video_encoder")(video, train)
+                                   self.lstm_layers, dtype=self.dtype,
+                                   name="video_encoder")(video, train)
         c = nn.Dense(256, dtype=self.dtype, name="cue_fc")(cue)
         c = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="cue_bn")(c)
@@ -121,12 +131,14 @@ class LateAttentionFusion(nn.Module):
     num_classes: int
     backbone: str = "mobilenet_v2"
     freeze_backbone: bool = True
+    lstm_layers: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, cue, video, train: bool = False):
         vseq = VideoLSTMSeqEncoder(self.backbone, 256, self.freeze_backbone,
-                                   dtype=self.dtype, name="video_encoder")(video, train)
+                                   self.lstm_layers, dtype=self.dtype,
+                                   name="video_encoder")(video, train)
         v_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="video_head")(vseq[:, -1, :])
         c = nn.Dense(256, dtype=self.dtype, name="cue_fc1")(cue)
         c = nn.relu(c)
@@ -148,7 +160,7 @@ class MultimodalCueVideoNet(nn.Module):
 
     @nn.compact
     def __call__(self, cue, video, train: bool = False):
-        vseq = VideoLSTMSeqEncoder("mobilenet_v2", 256, dtype=self.dtype,
+        vseq = VideoLSTMSeqEncoder("mobilenet_v2", 256, False, 2, dtype=self.dtype,
                                    name="video_encoder")(video, train)
         c = nn.Dense(256, dtype=self.dtype, name="cue_fc1")(cue)
         c = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -165,18 +177,21 @@ class MultimodalCueVideoNet(nn.Module):
 
 
 def get_cues_video_model(name: str, num_classes: int, dtype: Any = jnp.float32) -> nn.Module:
+    # reference parity: mobile encoders = frozen MobileNet + 1-layer BiLSTM;
+    # resnet encoders = trainable ResNet18 + 2-layer BiLSTM (see
+    # VideoLSTMSeqEncoder docstring for the file:line evidence)
     if name == "early_fusion_mobile":
-        return EarlyAttentionFusion(num_classes, "mobilenet_v2", True, dtype=dtype)
+        return EarlyAttentionFusion(num_classes, "mobilenet_v2", True, 1, dtype=dtype)
     if name == "middle_fusion_mobile":
-        return MiddleAttentionFusion(num_classes, "mobilenet_v2", False, dtype=dtype)
+        return MiddleAttentionFusion(num_classes, "mobilenet_v2", True, 1, dtype=dtype)
     if name == "late_fusion_mobile":
-        return LateAttentionFusion(num_classes, "mobilenet_v2", True, dtype=dtype)
+        return LateAttentionFusion(num_classes, "mobilenet_v2", True, 1, dtype=dtype)
     if name == "early_fusion_resnet":
-        return EarlyAttentionFusion(num_classes, "resnet18", False, dtype=dtype)
+        return EarlyAttentionFusion(num_classes, "resnet18", False, 2, dtype=dtype)
     if name == "middle_fusion_resnet":
-        return MiddleAttentionFusion(num_classes, "resnet18", False, dtype=dtype)
+        return MiddleAttentionFusion(num_classes, "resnet18", False, 2, dtype=dtype)
     if name == "late_fusion_resnet":
-        return LateAttentionFusion(num_classes, "resnet18", False, dtype=dtype)
+        return LateAttentionFusion(num_classes, "resnet18", False, 2, dtype=dtype)
     if name == "test_model":
         return MultimodalCueVideoNet(num_classes, dtype=dtype)
     raise ValueError(f"Unknown cues_video model: {name}")
@@ -186,6 +201,7 @@ def get_cues_video_model(name: str, num_classes: int, dtype: Any = jnp.float32) 
 # TrainerConfig.frozen_param_prefixes so the optimizer skips them entirely
 FROZEN_PARAM_PREFIXES = {
     "early_fusion_mobile": (("video_encoder", "cnn"),),
+    "middle_fusion_mobile": (("video_encoder", "cnn"),),
     "late_fusion_mobile": (("video_encoder", "cnn"),),
 }
 

@@ -76,6 +76,8 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
         cache_dir=cfg.get("dataset.cache_dir"),
     )
     num_classes = cfg.get("dataset.num_classes", len(classes))
+    if num_classes != len(classes):
+        raise ValueError(f"config says {num_classes} classes but found {len(classes)}: {classes}")
     model_name = cfg.get("model.name", "middle_fusion_mobile")
 
     metrics_dir, ckpt_dir = default_dirs(cfg, "audio_cues")

@@ -75,6 +75,8 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     input_size = cfg.get("dataset.audio_input_size", 117)
     datasets, classes = load_av_datasets(root_dir, lip_root, input_size=input_size)
     num_classes = cfg.get("dataset.num_classes", len(classes))
+    if num_classes != len(classes):
+        raise ValueError(f"config says {num_classes} classes but found {len(classes)}: {classes}")
     model_name = cfg.get("model.name", "middle_fusion_mobilenet")
 
     model = get_av_model(model_name, num_classes, dtype=model_dtype(cfg))

@@ -76,6 +76,11 @@ def load_audio_datasets(
     datasets: Dict[str, ArrayDataset] = {}
     for split in splits:
         entries = index.by_split(split)
+        if not entries:
+            raise RuntimeError(
+                f"No audio clips found for split '{split}' under {root_dir} — "
+                f"check the GLips tree layout"
+            )
         waves = decode_waveforms([e.path for e in entries])
         mels = compute_logmel_features(waves, input_size=input_size, impl=impl)
         labels = np.asarray([class_to_idx[e.word] for e in entries], np.int32)
@@ -116,6 +121,11 @@ def load_video_datasets(
     datasets: Dict[str, ArrayDataset] = {}
     for split in splits:
         entries = index.by_split(split)
+        if not entries:
+            raise RuntimeError(
+                f"No lip-region files found for split '{split}' under {lip_root} — "
+                f"run the lip-extraction preprocessing first"
+            )
         lips = load_lip_sequences([e.path for e in entries])
         labels = np.asarray([class_to_idx[e.word] for e in entries], np.int32)
         datasets[split] = ArrayDataset(inputs=(lips,), labels=labels)

@@ -78,6 +78,12 @@ def load_cue_classification_data(
             m = np.asarray([r.split == split for r in records])
             if m.any():
                 datasets[split] = ArrayDataset(inputs=(feats[m],), labels=labels[m])
+        for required in ("train", "val"):
+            if required not in datasets:
+                raise RuntimeError(
+                    f"use_file_splits=true but no cue records carry split '{required}' — "
+                    f"check the _{required} JSON files under the cue store"
+                )
     else:
         rng = np.random.default_rng(seed)
         order = rng.permutation(len(records))

@@ -62,7 +62,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
         config = load_config(config)
     cfg = config
 
-    lip_root = cfg.get("dataset.lip_regions_root") or resolve_lip_root(cfg)
+    lip_root = resolve_lip_root(cfg)  # honors dataset.lip_regions_root
     datasets, classes = load_cue_video_datasets(
         cfg.get("dataset.cue_root") or cfg.get("dataset.root_dir"),
         lip_root,
@@ -71,6 +71,8 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
         cache_dir=cfg.get("dataset.cache_dir"),
     )
     num_classes = cfg.get("dataset.num_classes", len(classes))
+    if num_classes != len(classes):
+        raise ValueError(f"config says {num_classes} classes but found {len(classes)}: {classes}")
     # reference schema first (cv_config.yaml uses train.model_name/batch/lr/
     # epochs and train.metrics_dir/save_dir), extended keys as fallback
     model_name = (cfg.get("train.model_name") or cfg.get("model.name")
@@ -91,7 +93,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             scheduler_mode="min",  # reference: cues_video plateau-min scheduler
             scheduler_factor=0.5,
             scheduler_patience=5,
-            seed=cfg.get("training.seed", 0),
+            seed=cfg.get("train.seed", cfg.get("training.seed", 0)),
             metrics_dir=metrics_dir,
             checkpoints_dir=ckpt_dir,
             test_every_epoch=True,

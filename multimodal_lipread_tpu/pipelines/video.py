@@ -57,6 +57,10 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     lip_root = resolve_lip_root(cfg)
     datasets, index = load_video_datasets(lip_root)
     num_classes = cfg.get("dataset.num_classes", len(index.classes))
+    if num_classes != len(index.classes):
+        raise ValueError(
+            f"config says {num_classes} classes but found {len(index.classes)}: {index.classes}"
+        )
     model_name = cfg.get("model.name", "resnet_lstm")
 
     model = get_video_model(
