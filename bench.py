@@ -114,10 +114,12 @@ def bench_torch_baseline() -> float:
 
     torch.manual_seed(0)
 
-    # Independent reimplementation of the reference's vgg_lstm shape:
-    # VGG11-BN features over (B,1,80,117) → collapse freq → BiLSTM → classifier.
-    def vgg11_features():
-        cfg = [64, "M", 128, "M", 256, 256, "M", 512, 512, "M", 512, 512, "M"]
+    # Independent reimplementation of the reference's vgg_lstm shape, same
+    # VGG16-BN feature cfg as the JAX side benches (version=16):
+    # features over (B,1,80,117) → collapse freq → BiLSTM → classifier.
+    def vgg16_features():
+        cfg = [64, 64, "M", 128, 128, "M", 256, 256, 256, "M",
+               512, 512, 512, "M", 512, 512, 512, "M"]
         layers, c_in = [], 1
         for v in cfg:
             if v == "M":
@@ -130,7 +132,7 @@ def bench_torch_baseline() -> float:
     class VggLstm(tnn.Module):
         def __init__(self):
             super().__init__()
-            self.features = vgg11_features()
+            self.features = vgg16_features()
             self.pool = tnn.AdaptiveAvgPool2d((None, 1))
             self.lstm = tnn.LSTM(512, 128, num_layers=2, bidirectional=True, batch_first=True)
             self.head = tnn.Sequential(

@@ -90,7 +90,10 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             epochs=cfg.get("train.epochs", 5),
             learning_rate=cfg.get("train.lr", 1e-3),
             weight_decay=cfg.get("train.weight_decay", 0.0),
-            scheduler_factor=1.0,  # reference audio_cues trainer has no scheduler
+            # reference: audio_cues/train.py:137 ReduceLROnPlateau(min, 0.5, 3)
+            scheduler_mode="min",
+            scheduler_factor=0.5,
+            scheduler_patience=3,
             seed=cfg.get("train.seed", 0),
             metrics_dir=metrics_dir,
             checkpoints_dir=ckpt_dir,

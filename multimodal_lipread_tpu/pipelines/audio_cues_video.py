@@ -113,7 +113,10 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             epochs=cfg.get("train.epochs", cfg.get("training.epochs", 10)),
             learning_rate=cfg.get("train.lr", cfg.get("training.learning_rate", 1e-5)),
             weight_decay=cfg.get("train.weight_decay", cfg.get("training.weight_decay", 1e-5)),
-            scheduler_factor=1.0,  # reference triple trainer has no scheduler
+            # reference: audio_cues_video/train.py:163 ReduceLROnPlateau(min, 0.5, 3)
+            scheduler_mode="min",
+            scheduler_factor=0.5,
+            scheduler_patience=3,
             seed=cfg.get("train.seed", cfg.get("training.seed", 0)),
             metrics_dir=metrics_dir,
             checkpoints_dir=ckpt_dir,

@@ -129,7 +129,15 @@ def main(config: Config | str) -> Dict[str, Any]:
             epochs=cfg.get("training.epochs", 30),
             learning_rate=cfg.get("training.learning_rate", 1e-3),
             weight_decay=cfg.get("training.weight_decay", 0.0),
-            scheduler_factor=1.0,  # reference cue trainers have no LR scheduler
+            scheduler_factor=1.0,  # sentence-level cue trainers have no plateau scheduler
+            # token-level and BERT cue trainers use linear warmup (reference:
+            # cues/models/minilm_models/cnn_lstm.py:177-178, WARMUP_PROPORTION=0.1)
+            lr_schedule=(
+                "linear_warmup"
+                if (kind.endswith("_tok") or kind == "bert_tok")
+                else "plateau"
+            ),
+            warmup_proportion=cfg.get("training.warmup_proportion", 0.1),
             seed=cfg.get("training.seed", 42),
             metrics_dir=metrics_dir,
             checkpoints_dir=ckpt_dir,

@@ -81,6 +81,12 @@ class TrainerConfig:
     scheduler_factor: float = 0.5
     scheduler_patience: int = 5
     min_lr: float = 0.0
+    # 'plateau' (ReduceLROnPlateau per epoch) or 'linear_warmup' (per-STEP
+    # torch get_linear_schedule_with_warmup semantics — ramps 0→lr over
+    # warmup_proportion of total steps, then decays linearly to 0; reference:
+    # cues/models/minilm_models/cnn_lstm.py:177-178,199)
+    lr_schedule: str = "plateau"
+    warmup_proportion: float = 0.1
     seed: int = 0
     metrics_dir: str = "metrics"
     checkpoints_dir: str = "models_trained"
@@ -135,6 +141,9 @@ class Trainer:
         self.logger = MetricLogger(config.metrics_dir, config.model_name, columns=config.log_columns)
         cw = config.class_weights
         self._class_weights = None if cw is None else jnp.asarray(cw, jnp.float32)
+        # per-step LR function, built in fit() once total steps are known
+        self._lr_step_fn: Optional[Callable[[int], float]] = None
+        self._global_step = 0
 
     # ------------------------------------------------------------------ setup
 
@@ -338,7 +347,10 @@ class Trainer:
         count = 0.0
         wsum = 0.0
         for inputs, labels, weights in self._batches(ds, shuffle=True, rng=rng):
+            if self._lr_step_fn is not None:
+                self._set_lr(self._lr_step_fn(self._global_step))
             self.state, l, c, n, w = self._train_step(self.state, inputs, labels, weights, base_rng)
+            self._global_step += 1
             loss_sum += float(l)
             correct += float(c)
             count += float(n)
@@ -409,6 +421,22 @@ class Trainer:
         if not self._compiled:
             self._build_steps()
 
+        if cfg.lr_schedule == "linear_warmup":
+            # torch get_linear_schedule_with_warmup over the whole run;
+            # stepped per batch AFTER the optimizer step (factor(0)=0 ⇒ the
+            # first step trains at lr 0, like torch LambdaLR)
+            steps_per_epoch = max(1, -(-len(train_ds) // self.batch_size))
+            total = steps_per_epoch * cfg.epochs
+            warmup = int(cfg.warmup_proportion * total)
+            base_lr = cfg.learning_rate
+
+            def lr_at(step, _w=warmup, _t=total, _lr=base_lr):
+                if step < _w:
+                    return _lr * step / max(1, _w)
+                return _lr * max(0.0, (_t - step) / max(1, _t - _w))
+
+            self._lr_step_fn = lr_at
+
         start_epoch = 1
         best_val_acc = -1.0
         ckpt_template = {
@@ -439,6 +467,7 @@ class Trainer:
             # best — restore the true running best so a resumed run never
             # overwrites the best checkpoint with a worse model
             best_val_acc = float(ckpt["best_val_acc"])
+            self._global_step = int(np.asarray(ckpt["state"]["step"]))
             self._set_lr(self.scheduler.lr)
             if progress:
                 progress(f"Resumed from {rolling_path} at epoch {start_epoch}")
@@ -456,9 +485,12 @@ class Trainer:
             if tracing:
                 jax.profiler.stop_trace()
             va = self.evaluate(val_ds)
-            metric = va.loss if cfg.scheduler_mode == "min" else va.acc
-            new_lr = self.scheduler.step(metric)
-            self._set_lr(new_lr)
+            if self._lr_step_fn is None:
+                metric = va.loss if cfg.scheduler_mode == "min" else va.acc
+                new_lr = self.scheduler.step(metric)
+                self._set_lr(new_lr)
+            else:
+                new_lr = self._lr_step_fn(self._global_step)
             te = (
                 self.evaluate(test_ds)
                 if (test_ds is not None and cfg.test_every_epoch)

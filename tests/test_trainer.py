@@ -178,6 +178,40 @@ def test_mixup_function_soft_labels():
     np.testing.assert_allclose(np.asarray(mx).sum(axis=1), 1.0, rtol=1e-5)
 
 
+def test_linear_warmup_schedule(tmp_path):
+    """lr_schedule='linear_warmup' reproduces torch get_linear_schedule_with_warmup:
+    ramp 0→lr over the warmup steps, then decay linearly to 0 at the last step."""
+    from flax import linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            return nn.Dense(4)(x.reshape(x.shape[0], -1))
+
+    ds = _tiny_dataset(32)  # batch 16 → 2 steps/epoch
+    trainer = Trainer(
+        Tiny(),
+        TrainerConfig(
+            model_name="tinywarm", num_classes=4, batch_size=16, epochs=2,
+            learning_rate=1e-2, lr_schedule="linear_warmup", warmup_proportion=0.5,
+            test_every_epoch=False,
+            metrics_dir=str(tmp_path / "m"), checkpoints_dir=str(tmp_path / "c"),
+        ),
+    )
+    result = trainer.fit(ds, ds, progress=None)
+    # total=4 steps, warmup=2: factor(0)=0, factor(1)=.5, factor(2)=1, factor(3)=.5, factor(4)=0
+    fn = trainer._lr_step_fn
+    assert fn(0) == 0.0
+    assert fn(1) == pytest.approx(5e-3)
+    assert fn(2) == pytest.approx(1e-2)
+    assert fn(3) == pytest.approx(5e-3)
+    assert fn(4) == 0.0
+    # history records the post-epoch LR (after 2 and 4 steps respectively)
+    assert result["history"][0]["lr"] == pytest.approx(1e-2)
+    assert result["history"][1]["lr"] == 0.0
+    assert np.isfinite(result["history"][-1]["train_loss"])
+
+
 def test_orbax_checkpoint_backend(tmp_path):
     from flax import linen as nn
 
