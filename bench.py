@@ -1,21 +1,24 @@
-"""Benchmark: end-to-end audio-pipeline training throughput, clips/sec/chip.
+"""Benchmark: end-to-end training throughput + MFU for the main pipelines.
 
-The BASELINE metric (BASELINE.json) is GLips preproc+train clips/sec/chip.
-The reference publishes no throughput numbers (BASELINE.md §Throughput), so
-the baseline is measured HERE each run: a reference-equivalent PyTorch
-training loop (same vgg_lstm-class architecture, same batch size, Adam) on
-this host's CPU — the only backend the reference stack can use in this image.
-The reference recomputes log-mel features per sample per epoch in DataLoader
-workers (reference: audio/train.py:59-84 + audio/utils/audio_processor.py:48-64);
-its proxy here is charged only the model step (features free), which is
-GENEROUS to the baseline.
+Line 1 (the driver metric, BASELINE.json) is unchanged: audio vgg_lstm
+end-to-end train clips/sec/chip including the fused on-device log-mel
+frontend. Subsequent JSON lines cover the video encoders (the reference's
+actual lip-reading core) and one triple-fusion model, each with an MFU
+estimate: XLA's own cost analysis of the compiled train step divided by a
+peak-TFLOP/s figure MEASURED on this chip at the same dtype (a large GEMM
+with honest host-value fencing).
 
-Our number: steady-state data-parallel train step on the flagship vgg_lstm
-model, INCLUDING the fused on-device log-mel frontend (wave → mel → model →
-grads → Adam), batch sharded over all available chips. Value reported is
-per chip.
+The torch CPU baseline mirrors the reference stack's only runnable backend
+in this image (the reference publishes no throughput numbers, BASELINE.md);
+it is charged only the model step (features free), which is GENEROUS to it.
+The reference recomputes log-mel per sample per epoch in DataLoader workers
+(reference: audio/train.py:59-84 + audio/utils/audio_processor.py:48-64).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Timing methodology: on the axon TPU tunnel, ``block_until_ready`` returns
+before device execution finishes — only a host VALUE fetch blocks on the
+real computation (verified against known-FLOPs matmuls). Every timed loop
+here ends by fetching the final loss, which depends on the whole chain of
+donated states. Best-of-3 absorbs tunnel contention.
 """
 
 from __future__ import annotations
@@ -25,55 +28,88 @@ import time
 
 import numpy as np
 
-
-BATCH = 128  # per-chip; saturates the chip (throughput flat from 128 to 512)
+BATCH = 128  # audio per-chip batch; saturates the chip (flat from 128 to 512)
+VIDEO_BATCH = 64  # per-chip for the 29-frame video/fusion models
 STEPS = 30
+VIDEO_STEPS = 10
 WARMUP = 3
 
 
-def bench_jax() -> float:
+def _measured_peak_tflops(dtype_name: str) -> float:
+    """Peak GEMM TFLOP/s at the given dtype, measured with value-fetch fencing."""
+    import jax
+    import jax.numpy as jnp
+
+    n = 8192
+    dt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
+    a = jnp.ones((n, n), dt)
+    b = jnp.ones((n, n), dt)
+
+    @jax.jit
+    def mm(a, b):
+        c = a @ b
+        return c, jnp.float32(c[0, 0])
+
+    _, s = mm(a, b)
+    float(s)
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out, s = mm(a, b)
+        float(s)
+        best = min(best, time.perf_counter() - t0)
+    return 2 * n**3 / best / 1e12
+
+
+def _flops_of(compiled) -> float:
+    """XLA cost-analysis FLOPs of a compiled executable (nan if unavailable)."""
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca.get("flops", float("nan")))
+    except Exception:
+        return float("nan")
+
+
+def _bench_train_step(model, inputs, labels, steps, extra_loss_inputs=None):
+    """Generic fwd+bwd+Adam loop over sharded inputs; returns (clips/s/chip, mfu_flops_per_step, dt)."""
     import jax
     import jax.numpy as jnp
     import optax
 
-    from multimodal_lipread_tpu.models.audio import get_audio_model
-    from multimodal_lipread_tpu.ops.logmel import log_mel
     from multimodal_lipread_tpu.parallel.mesh import batch_sharding, get_mesh, replicate
 
     n_chips = len(jax.devices())
     mesh = get_mesh()
     bsharding = batch_sharding(mesh)
-    batch = BATCH * n_chips  # BATCH per chip
 
-    # bf16 compute, f32 loss/params: +32% over f32 with honest device fencing
-    # (an earlier f32-vs-bf16 comparison was inverted by the axon tunnel's
-    # non-blocking block_until_ready — see the timing note below).
-    model = get_audio_model("vgg_lstm", num_classes=4, version=16, dtype=jnp.bfloat16)
     rng = jax.random.PRNGKey(0)
-    waves = np.random.default_rng(0).standard_normal((batch, 20000)).astype(np.float32) * 1000.0
-    labels = np.random.default_rng(1).integers(0, 4, size=batch).astype(np.int32)
-
-    mel0 = log_mel(jnp.asarray(waves[:8]))[:, :80, :117]
-    variables = model.init({"params": rng, "dropout": rng}, mel0, train=False)
-    params, batch_stats = variables["params"], variables.get("batch_stats", {})
-    tx = optax.chain(
-        optax.add_decayed_weights(1e-4),
-        optax.scale_by_adam(),
-        optax.scale(-5e-4),
+    init_inputs = tuple(
+        (x[: 2 * n_chips].astype(jnp.float32) / 255.0 if x.dtype == np.uint8 else x[: 2 * n_chips])
+        for x in inputs
     )
+    variables = model.init({"params": rng, "dropout": rng}, *init_inputs, train=False)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    tx = optax.chain(optax.add_decayed_weights(1e-4), optax.scale_by_adam(), optax.scale(-5e-4))
     opt_state = tx.init(params)
     state = replicate(mesh, {"params": params, "batch_stats": batch_stats, "opt": opt_state})
 
-    def train_step(state, wave, labels, step_rng):
-        # end-to-end: on-device preprocessing + forward + backward + update
-        mel = log_mel(wave)[:, :80, :117]
+    def cast(x):
+        return x.astype(jnp.bfloat16) / 255.0 if x.dtype == jnp.uint8 else x
+
+    def train_step(state, labels, *xs):
+        xs = tuple(cast(x) for x in xs)
 
         def loss_fn(p):
             logits, mutated = model.apply(
                 {"params": p, "batch_stats": state["batch_stats"]},
-                mel, train=True, mutable=["batch_stats"], rngs={"dropout": step_rng},
+                *xs, train=True, mutable=["batch_stats"],
+                rngs={"dropout": jax.random.PRNGKey(1)},
             )
-            ce = optax.softmax_cross_entropy_with_integer_labels(logits.astype(jnp.float32), labels)
+            ce = optax.softmax_cross_entropy_with_integer_labels(
+                logits.astype(jnp.float32), labels
+            )
             return jnp.mean(ce), mutated.get("batch_stats", state["batch_stats"])
 
         (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(state["params"])
@@ -82,26 +118,88 @@ def bench_jax() -> float:
         return {"params": new_params, "batch_stats": new_bs, "opt": new_opt}, loss
 
     step = jax.jit(train_step, donate_argnums=(0,))
-    wave_d = jax.device_put(jnp.asarray(waves), bsharding)
-    labels_d = jax.device_put(jnp.asarray(labels), bsharding)
+    xs_d = tuple(jax.device_put(x, bsharding) for x in inputs)
+    labels_d = jax.device_put(labels, bsharding)
 
-    for i in range(WARMUP):
-        state, loss = step(state, wave_d, labels_d, jax.random.PRNGKey(i))
-    float(loss)  # force completion
-    # Timing methodology: on the axon TPU tunnel, block_until_ready returns
-    # before device execution finishes — only a host VALUE fetch blocks on the
-    # real computation (verified against known-FLOPs matmuls). The final
-    # loss depends on the whole chain of donated states, so fetching it
-    # fences every step in the loop. Best-of-3 absorbs tunnel contention.
+    lowered = step.lower(state, labels_d, *xs_d)
+    compiled = lowered.compile()
+    flops_per_step = _flops_of(compiled)
+
+    for _ in range(WARMUP):
+        state, loss = step(state, labels_d, *xs_d)
+    float(loss)
     best_dt = float("inf")
     for _trial in range(3):
         t0 = time.perf_counter()
-        for i in range(STEPS):
-            state, loss = step(state, wave_d, labels_d, jax.random.PRNGKey(i))
+        for _ in range(steps):
+            state, loss = step(state, labels_d, *xs_d)
         float(loss)
         best_dt = min(best_dt, time.perf_counter() - t0)
-    clips_per_sec = batch * STEPS / best_dt
-    return clips_per_sec / n_chips
+    clips_per_sec = len(labels) * steps / best_dt / n_chips
+    return clips_per_sec, flops_per_step, best_dt
+
+
+def bench_audio_vgg_lstm() -> float:
+    """The driver metric: audio vgg_lstm e2e incl. on-device log-mel (bf16)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_lipread_tpu.models.audio import get_audio_model
+    from multimodal_lipread_tpu.models.frontend import WaveToLogMel
+
+    n_chips = len(jax.devices())
+    batch = BATCH * n_chips
+    model = WaveToLogMel(
+        get_audio_model("vgg_lstm", num_classes=4, version=16, dtype=jnp.bfloat16)
+    )
+    waves = np.random.default_rng(0).standard_normal((batch, 20000)).astype(np.float32) * 1000.0
+    labels = np.random.default_rng(1).integers(0, 4, size=batch).astype(np.int32)
+    clips, _flops, _dt = _bench_train_step(model, (waves,), labels, STEPS)
+    return clips
+
+
+def bench_video(name: str, peak_tflops: float) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_lipread_tpu.models.video import get_video_model
+
+    n_chips = len(jax.devices())
+    batch = VIDEO_BATCH * n_chips
+    model = get_video_model(name, 4, dtype=jnp.bfloat16)
+    # uint8 lips like production: H2D at 1/4 bytes, normalize on device
+    lips = np.random.default_rng(0).integers(0, 256, size=(batch, 29, 44, 44, 3)).astype(np.uint8)
+    labels = np.random.default_rng(1).integers(0, 4, size=batch).astype(np.int32)
+    clips, flops, dt = _bench_train_step(model, (lips,), labels, VIDEO_STEPS)
+    mfu = (flops * VIDEO_STEPS / dt) / (peak_tflops * 1e12) if np.isfinite(flops) else -1.0
+    return {
+        "metric": f"video {name} train clips/sec/chip (bf16, uint8 H2D, device normalize)",
+        "value": round(clips, 2), "unit": "clips/s/chip",
+        "mfu": round(mfu, 4), "peak_tflops_measured": round(peak_tflops, 2),
+    }
+
+
+def bench_triple(peak_tflops: float) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_lipread_tpu.models.audio_cues_video import get_triple_model
+
+    n_chips = len(jax.devices())
+    batch = VIDEO_BATCH * n_chips
+    model = get_triple_model("late_fusion_mobile", 4, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    mels = rng.standard_normal((batch, 80, 117)).astype(np.float32)
+    cues = rng.standard_normal((batch, 768)).astype(np.float32)
+    lips = rng.integers(0, 256, size=(batch, 29, 44, 44, 3)).astype(np.uint8)
+    labels = rng.integers(0, 4, size=batch).astype(np.int32)
+    clips, flops, dt = _bench_train_step(model, (mels, cues, lips), labels, VIDEO_STEPS)
+    mfu = (flops * VIDEO_STEPS / dt) / (peak_tflops * 1e12) if np.isfinite(flops) else -1.0
+    return {
+        "metric": "triple late_fusion_mobile train clips/sec/chip (bf16)",
+        "value": round(clips, 2), "unit": "clips/s/chip",
+        "mfu": round(mfu, 4), "peak_tflops_measured": round(peak_tflops, 2),
+    }
 
 
 def bench_torch_baseline() -> float:
@@ -164,17 +262,29 @@ def bench_torch_baseline() -> float:
     return BATCH * steps / dt
 
 
-def main():
-    value = bench_jax()
+def main(full: bool = True):
+    value = bench_audio_vgg_lstm()
     baseline = bench_torch_baseline()
     vs = value / baseline if baseline == baseline and baseline > 0 else -1.0
+    # line 1: the driver metric, format unchanged
     print(json.dumps({
         "metric": "audio vgg_lstm end-to-end train clips/sec/chip (incl. on-device log-mel)",
         "value": round(value, 2),
         "unit": "clips/s/chip",
         "vs_baseline": round(vs, 2),
-    }))
+    }), flush=True)
+    if not full:
+        return
+    peak = _measured_peak_tflops("bf16")
+    for line in (
+        bench_video("mobilenet_lstm", peak),
+        bench_video("resnet_lstm", peak),
+        bench_triple(peak),
+    ):
+        print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(full="--driver-only" not in sys.argv)

@@ -44,7 +44,26 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     model_name = cfg.get("model.name", "resnet")
     version = cfg.get("model.version", 16)
 
-    datasets, index = load_audio_datasets(root_dir, input_size=input_size)
+    streaming = bool(cfg.get("dataset.streaming", False))
+    if streaming:
+        # full-GLips-scale path: host workers stream raw waveforms through
+        # grain (per-host sharded); the fused log-mel runs ON DEVICE inside
+        # the jitted train step (models/frontend.py)
+        from multimodal_lipread_tpu.data.glips import AUDIO_EXTS, SPLITS, scan_glips
+        from multimodal_lipread_tpu.data.grain_loader import AudioClipSource, StreamingDataset
+
+        index = scan_glips(root_dir, exts=AUDIO_EXTS)
+        datasets = {
+            split: StreamingDataset(
+                AudioClipSource(index.by_split(split), index.class_to_idx),
+                input_keys=("waveform",),
+                seed=cfg.get("training.seed", 0),
+                worker_count=cfg.get("dataset.num_workers", 0),
+            )
+            for split in SPLITS
+        }
+    else:
+        datasets, index = load_audio_datasets(root_dir, input_size=input_size)
     assert len(index.classes) == num_classes, (
         f"config says {num_classes} classes but found {len(index.classes)}: {index.classes}"
     )
@@ -57,6 +76,10 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
         use_batchnorm=cfg.get("model.use_batchnorm", True),
         dtype=model_dtype(cfg),
     )
+    if streaming:
+        from multimodal_lipread_tpu.models.frontend import WaveToLogMel
+
+        model = WaveToLogMel(model, input_size=input_size)
     metrics_dir, ckpt_dir = default_dirs(cfg, "audio")
     trainer = Trainer(
         model,
@@ -74,9 +97,10 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             metrics_dir=metrics_dir,
             checkpoints_dir=ckpt_dir,
             test_every_epoch=True,
+            device_resident=cfg.get("training.device_resident", False),
         ),
     )
-    trainer.init_state(datasets["train"].inputs)
+    trainer.ensure_initialized(datasets["train"])
     load_pretrained_backbones(trainer, cfg)
     result = trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
     maybe_plot(cfg, metrics_dir)

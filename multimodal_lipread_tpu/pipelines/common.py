@@ -182,8 +182,19 @@ def load_pretrained_backbones(trainer, cfg: Config) -> int:
     for spec in specs:
         arch = spec["arch"]
         if arch not in converters:
-            raise ValueError(f"Unknown pretrained arch: {arch}")
-        converted = converters[arch](spec["path"])
+            raise ValueError(
+                f"Unknown pretrained arch '{arch}'. Supported: {sorted(converters)}"
+            )
+        path = spec["path"]
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"pretrained checkpoint for '{arch}' not found at {path}. "
+                f"Fetch torchvision ImageNet weights on a machine with egress via "
+                f"`python -m multimodal_lipread_tpu.tools.fetch_weights --out "
+                f"{os.path.dirname(path) or '.'} --arch {arch}` and copy the "
+                f".pth file here."
+            )
+        converted = converters[arch](path)
         if spec.get("adapt_1ch"):
             converted = ti.adapt_first_conv_to_1ch(converted)
         variables = ti.graft_backbone(variables, converted, tuple(spec["submodule"]))

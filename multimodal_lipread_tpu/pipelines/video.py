@@ -55,7 +55,26 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     cfg = config
 
     lip_root = resolve_lip_root(cfg)
-    datasets, index = load_video_datasets(lip_root)
+    streaming = bool(cfg.get("dataset.streaming", False))
+    if streaming:
+        # full-GLips-scale path: ~100 GB of lip tensors can't materialize in
+        # host RAM — grain workers stream uint8 .npy records (per-host
+        # sharded), the Trainer normalizes to [0,1] on device
+        from multimodal_lipread_tpu.data.glips import SPLITS, scan_lip_regions
+        from multimodal_lipread_tpu.data.grain_loader import LipClipSource, StreamingDataset
+
+        index = scan_lip_regions(lip_root)
+        datasets = {
+            split: StreamingDataset(
+                LipClipSource(index.by_split(split), index.class_to_idx),
+                input_keys=("lip_regions",),
+                seed=cfg.get("training.seed", 0),
+                worker_count=cfg.get("dataset.num_workers", 0),
+            )
+            for split in SPLITS
+        }
+    else:
+        datasets, index = load_video_datasets(lip_root)
     num_classes = cfg.get("dataset.num_classes", len(index.classes))
     if num_classes != len(index.classes):
         raise ValueError(
@@ -93,9 +112,10 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             # the reference's augmentation YAML block is dead config
             # (visual_config.yaml:33-46); here it actually works, default off
             mixup_alpha=cfg.get("augmentation.mixup_alpha", 0.0),
+            device_resident=cfg.get("training.device_resident", False),
         ),
     )
-    trainer.init_state(datasets["train"].inputs)
+    trainer.ensure_initialized(datasets["train"])
     load_pretrained_backbones(trainer, cfg)
     result = trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
     maybe_plot(cfg, metrics_dir)

@@ -99,6 +99,11 @@ class TrainerConfig:
     mixup_alpha: float = 0.0  # >0 enables batch mixup (full batches only)
     remat: bool = False  # jax.checkpoint the forward: trade FLOPs for HBM
     checkpoint_backend: str = "msgpack"  # 'msgpack' (single file) or 'orbax'
+    # keep ArrayDatasets resident on device (replicated) and gather each
+    # batch ON DEVICE by index — the per-step host→device traffic drops from
+    # the full batch (e.g. 11 MB of lips at batch 64) to a few KB of indices.
+    # Only for datasets that fit in HBM; streaming covers the rest.
+    device_resident: bool = False
     # param-path prefixes excluded from ALL optimizer updates (weight decay
     # included) — torch requires_grad=False semantics for frozen encoders
     frozen_param_prefixes: Tuple[Tuple[str, ...], ...] = ()
@@ -208,6 +213,19 @@ class Trainer:
         self.state = replicate(self.mesh, state)
         return self.state
 
+    def ensure_initialized(self, ds: Any) -> None:
+        """Initialize parameters from a dataset's input template if needed.
+
+        Works for both ArrayDataset (materialized) and StreamingDataset
+        (grain-backed) — pipelines call this before pretrained grafting.
+        """
+        if self.state is not None:
+            return
+        if isinstance(ds, ArrayDataset):
+            self.init_state(ds.inputs)
+        else:
+            self.init_state(ds.example_inputs(self.n_devices))
+
     # ------------------------------------------------------------ step fns
 
     def _build_steps(self):
@@ -310,11 +328,70 @@ class Trainer:
             correct = jnp.sum((jnp.argmax(logits, -1) == labels) * weights)
             return loss_sum, correct, jnp.sum(weights), jnp.sum(w)
 
+        batch_shard = self._batch_sharding
+
+        def gather(data, labels_all, idx):
+            # replicated data + P('data')-sharded idx → each chip gathers its
+            # own batch rows locally; constrain the output so GSPMD never
+            # materializes an unsharded batch
+            inputs = tuple(
+                jax.lax.with_sharding_constraint(jnp.take(d, idx, axis=0), batch_shard)
+                for d in data
+            )
+            labels = jax.lax.with_sharding_constraint(
+                jnp.take(labels_all, idx, axis=0), batch_shard
+            )
+            return inputs, labels
+
+        def train_step_idx(state, data, labels_all, idx, weights, rng):
+            inputs, labels = gather(data, labels_all, idx)
+            return train_step(state, inputs, labels, weights, rng)
+
+        def eval_step_idx(params, batch_stats, data, labels_all, idx, weights):
+            inputs, labels = gather(data, labels_all, idx)
+            return eval_step(params, batch_stats, inputs, labels, weights)
+
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
+        self._train_step_idx = jax.jit(train_step_idx, donate_argnums=(0,))
+        self._eval_step_idx = jax.jit(eval_step_idx)
         self._compiled = True
 
     # ------------------------------------------------------------ batching
+
+    def _device_dataset(self, ds: ArrayDataset):
+        """Place a dataset on device once, replicated over the mesh."""
+        if not hasattr(self, "_device_data_cache"):
+            self._device_data_cache: Dict[int, Any] = {}
+        cached = self._device_data_cache.get(id(ds))
+        if cached is None:
+            data = tuple(replicate(self.mesh, jnp.asarray(a)) for a in ds.inputs)
+            labels = replicate(self.mesh, jnp.asarray(ds.labels.astype(np.int32)))
+            cached = (data, labels)
+            self._device_data_cache[id(ds)] = cached
+        return cached
+
+    def _index_batches(self, ds: ArrayDataset, shuffle: bool, rng: np.random.Generator):
+        """Yield (idx, weights) device batches for the device-resident path.
+
+        Same pad-with-real-rows-at-weight-0 contract as ``_batches``; only
+        int32 indices and float32 weights cross host→device.
+        """
+        n = len(ds)
+        order = rng.permutation(n) if shuffle else np.arange(n)
+        bs = self.batch_size
+        for start in range(0, n, bs):
+            idx = order[start : start + bs]
+            k = len(idx)
+            weights = np.zeros((bs,), np.float32)
+            weights[:k] = 1.0
+            if k < bs:
+                fill = order[: bs - k] if n >= bs else np.resize(order, bs - k)
+                idx = np.concatenate([idx, fill.astype(idx.dtype)])
+            yield (
+                jax.device_put(idx.astype(np.int32), self._batch_sharding),
+                jax.device_put(weights, self._batch_sharding),
+            )
 
     def _batches(self, ds: ArrayDataset, shuffle: bool, rng: np.random.Generator):
         """Yield fixed-shape (inputs, labels, weights) batches, zero-padded."""
@@ -339,14 +416,89 @@ class Trainer:
             w = jax.device_put(weights, self._batch_sharding)
             yield inputs, labels, w
 
+    def _stream_batches(self, ds: Any, epoch: int, shuffle: bool = True):
+        """Fixed-shape batches from a StreamingDataset (grain-backed).
+
+        Same pad-to-static + weight-0 contract as ``_batches``: every device
+        batch has exactly ``self.batch_size`` rows; short loader batches are
+        padded by repeating real rows at weight 0 (loss/metrics ignore them,
+        BatchNorm statistics stay clean). Under multi-host, each host streams
+        its own 1/hosts shard and the global array is assembled from
+        process-local data.
+        """
+        n_proc = jax.process_count()
+        per_host = self.batch_size // n_proc
+        if n_proc > 1:
+            def put(a):
+                return jax.make_array_from_process_local_data(self._batch_sharding, a)
+        else:
+            def put(a):
+                return jax.device_put(a, self._batch_sharding)
+
+        for inputs, labels in ds.epoch_batches(epoch, shuffle, per_host):
+            k = len(labels)
+            weights = np.zeros((per_host,), np.float32)
+            weights[:k] = 1.0
+            if k < per_host:
+                fill = np.resize(np.arange(k), per_host - k)
+                inputs = tuple(np.concatenate([a, a[fill]], axis=0) for a in inputs)
+                labels = np.concatenate([labels, labels[fill]], axis=0)
+            yield (
+                tuple(put(a) for a in inputs),
+                put(labels.astype(np.int32)),
+                put(weights),
+            )
+
     # ------------------------------------------------------------ epochs
 
-    def train_epoch(self, ds: ArrayDataset, rng: np.random.Generator, base_rng) -> EpochMetrics:
+    def train_single_batch(self, ds: ArrayDataset, seed: int = 0) -> float:
+        """Run ONE optimizer step on the first batch of ``ds``; return the loss.
+
+        Public single-step API for compile checks and dry runs (e.g. the
+        driver's multi-chip dryrun): initializes parameters and compiles the
+        train step if needed, consumes one statically-shaped sharded batch,
+        and returns the host float loss (which fences device execution).
+        """
+        if self.state is None:
+            self.init_state(ds.inputs)
+        if not self._compiled:
+            self._build_steps()
+        inputs, labels, weights = next(
+            self._batches(ds, shuffle=False, rng=np.random.default_rng(seed))
+        )
+        self.state, loss_sum, _correct, _n, wsum = self._train_step(
+            self.state, inputs, labels, weights, jax.random.PRNGKey(seed)
+        )
+        return float(loss_sum) / max(float(wsum), 1e-9)
+
+    def train_epoch(
+        self, ds: Any, rng: np.random.Generator, base_rng, epoch: int = 0
+    ) -> EpochMetrics:
         loss_sum = 0.0
         correct = 0.0
         count = 0.0
         wsum = 0.0
-        for inputs, labels, weights in self._batches(ds, shuffle=True, rng=rng):
+        if isinstance(ds, ArrayDataset) and self.config.device_resident:
+            data, labels_all = self._device_dataset(ds)
+            for idx, weights in self._index_batches(ds, shuffle=True, rng=rng):
+                if self._lr_step_fn is not None:
+                    self._set_lr(self._lr_step_fn(self._global_step))
+                self.state, l, c, n, w = self._train_step_idx(
+                    self.state, data, labels_all, idx, weights, base_rng
+                )
+                self._global_step += 1
+                loss_sum += float(l)
+                correct += float(c)
+                count += float(n)
+                wsum += float(w)
+            return EpochMetrics(
+                loss=loss_sum / max(wsum, 1e-9), acc=100.0 * correct / max(count, 1)
+            )
+        if isinstance(ds, ArrayDataset):
+            batches = self._batches(ds, shuffle=True, rng=rng)
+        else:  # StreamingDataset (grain-backed host loading)
+            batches = self._stream_batches(ds, epoch, shuffle=True)
+        for inputs, labels, weights in batches:
             if self._lr_step_fn is not None:
                 self._set_lr(self._lr_step_fn(self._global_step))
             self.state, l, c, n, w = self._train_step(self.state, inputs, labels, weights, base_rng)
@@ -357,7 +509,7 @@ class Trainer:
             wsum += float(w)
         return EpochMetrics(loss=loss_sum / max(wsum, 1e-9), acc=100.0 * correct / max(count, 1))
 
-    def evaluate(self, ds: ArrayDataset, params=None, batch_stats=None) -> EpochMetrics:
+    def evaluate(self, ds: Any, params=None, batch_stats=None) -> EpochMetrics:
         params = self.state["params"] if params is None else params
         batch_stats = self.state["batch_stats"] if batch_stats is None else batch_stats
         loss_sum = 0.0
@@ -365,7 +517,24 @@ class Trainer:
         count = 0.0
         wsum = 0.0
         rng = np.random.default_rng(0)
-        for inputs, labels, weights in self._batches(ds, shuffle=False, rng=rng):
+        if isinstance(ds, ArrayDataset) and self.config.device_resident:
+            data, labels_all = self._device_dataset(ds)
+            for idx, weights in self._index_batches(ds, shuffle=False, rng=rng):
+                l, c, n, w = self._eval_step_idx(
+                    params, batch_stats, data, labels_all, idx, weights
+                )
+                loss_sum += float(l)
+                correct += float(c)
+                count += float(n)
+                wsum += float(w)
+            return EpochMetrics(
+                loss=loss_sum / max(wsum, 1e-9), acc=100.0 * correct / max(count, 1)
+            )
+        if isinstance(ds, ArrayDataset):
+            batches = self._batches(ds, shuffle=False, rng=rng)
+        else:
+            batches = self._stream_batches(ds, epoch=0, shuffle=False)
+        for inputs, labels, weights in batches:
             l, c, n, w = self._eval_step(params, batch_stats, inputs, labels, weights)
             loss_sum += float(l)
             correct += float(c)
@@ -408,16 +577,15 @@ class Trainer:
 
     def fit(
         self,
-        train_ds: ArrayDataset,
-        val_ds: ArrayDataset,
-        test_ds: Optional[ArrayDataset] = None,
+        train_ds: Any,  # ArrayDataset or StreamingDataset (grain-backed)
+        val_ds: Any,
+        test_ds: Optional[Any] = None,
         resume: bool = False,
         progress: Optional[Callable[[str], None]] = print,
     ) -> Dict[str, Any]:
         """Full training run; returns history + final (best-checkpoint) test metrics."""
         cfg = self.config
-        if self.state is None:
-            self.init_state(train_ds.inputs)
+        self.ensure_initialized(train_ds)
         if not self._compiled:
             self._build_steps()
 
@@ -481,7 +649,7 @@ class Trainer:
             tracing = cfg.profile_dir is not None and epoch == start_epoch
             if tracing:
                 jax.profiler.start_trace(cfg.profile_dir)
-            tr = self.train_epoch(train_ds, data_rng, base_rng)
+            tr = self.train_epoch(train_ds, data_rng, base_rng, epoch=epoch)
             if tracing:
                 jax.profiler.stop_trace()
             va = self.evaluate(val_ds)

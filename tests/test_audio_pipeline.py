@@ -1,5 +1,7 @@
 """End-to-end audio pipeline test: synthetic GLips → train → logs/checkpoints."""
 
+import pytest
+
 import os
 
 import numpy as np
@@ -40,6 +42,7 @@ def test_audio_pipeline_end_to_end(glips_root, tmp_path):
     assert os.path.exists(tmp_path / "audio" / "models_trained" / "resnet_best.msgpack")
 
 
+@pytest.mark.slow
 def test_audio_pipeline_with_pretrained_backbone(glips_root, tmp_path):
     """model.pretrained grafts a converted torch ResNet18 into the trainer."""
     import torch

@@ -20,7 +20,15 @@ def _inputs(rng_seed=0):
     return audio, video
 
 
-@pytest.mark.parametrize("name", AV_MODEL_NAMES)
+@pytest.mark.parametrize(
+    "name",
+    [
+        # early_fusion_mobilenet's MobileNetV3 init dominates the file's
+        # compile time — slow lane
+        pytest.param(n, marks=pytest.mark.slow) if n == "early_fusion_mobilenet" else n
+        for n in AV_MODEL_NAMES
+    ],
+)
 def test_av_model_output_shape(name):
     model = get_av_model(name, NUM_CLASSES)
     audio, video = _inputs()
@@ -40,6 +48,7 @@ def test_late_fusion_alpha_is_scalar_param():
     assert float(variables["params"]["alpha"]) == 0.5
 
 
+@pytest.mark.slow
 def test_av_pipeline_end_to_end(glips_root, tmp_path):
     from multimodal_lipread_tpu.pipelines.audio_video import main as av_main
 

@@ -39,6 +39,7 @@ def test_bert_classifier_forward():
     assert np.all(np.isfinite(np.asarray(out)))
 
 
+@pytest.mark.slow
 def test_hf_bert_conversion_parity():
     """convert_hf_bert output matches transformers' torch BERT numerically."""
     torch = pytest.importorskip("torch")

@@ -43,12 +43,21 @@ def _check(model, *inputs):
     return variables
 
 
-@pytest.mark.parametrize("name", AUDIO_CUES_MODEL_NAMES)
+def _mark_mobile_slow(names):
+    # the *_fusion_mobile variants build MobileNetV2 encoders whose CPU
+    # compiles dominate this file — slow lane for the heaviest one per zoo
+    return [
+        pytest.param(n, marks=pytest.mark.slow) if n == "early_fusion_mobile" else n
+        for n in names
+    ]
+
+
+@pytest.mark.parametrize("name", _mark_mobile_slow(AUDIO_CUES_MODEL_NAMES))
 def test_audio_cues_model_shapes(name):
     _check(get_audio_cues_model(name, NUM_CLASSES), _mel(), _cue())
 
 
-@pytest.mark.parametrize("name", CUES_VIDEO_MODEL_NAMES)
+@pytest.mark.parametrize("name", _mark_mobile_slow(CUES_VIDEO_MODEL_NAMES))
 def test_cues_video_model_shapes(name):
     _check(get_cues_video_model(name, NUM_CLASSES), _cue(), _video())
 
@@ -70,6 +79,7 @@ def test_modality_attention_weights_sum_to_one():
     np.testing.assert_allclose(np.asarray(weights).sum(axis=1), 1.0, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_frozen_encoders_stop_gradients():
     """Early triple fusion freezes audio+video; their encoder params get zero grads."""
     import jax.numpy as jnp

@@ -1,10 +1,13 @@
 """End-to-end tests for the audio_cues, cues_video, and triple pipelines."""
 
+import pytest
+
 import os
 
 from multimodal_lipread_tpu.config import Config
 
 
+@pytest.mark.slow
 def test_audio_cues_pipeline(glips_root, tmp_path):
     from multimodal_lipread_tpu.pipelines.audio_cues import main
 
@@ -23,6 +26,7 @@ def test_audio_cues_pipeline(glips_root, tmp_path):
     assert os.path.exists(tmp_path / "ac" / "models_trained" / "late_fusion_resnet_best.msgpack")
 
 
+@pytest.mark.slow
 def test_cues_video_pipeline(glips_root, tmp_path):
     from multimodal_lipread_tpu.pipelines.cues_video import main
 
@@ -43,6 +47,7 @@ def test_cues_video_pipeline(glips_root, tmp_path):
     assert "final_test_acc" in result
 
 
+@pytest.mark.slow
 def test_triple_pipeline(glips_root, tmp_path):
     from multimodal_lipread_tpu.pipelines.audio_cues_video import main
 

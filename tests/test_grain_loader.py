@@ -40,4 +40,4 @@ def test_lip_grain_loader(glips_root):
     loader = make_loader(src, batch_size=8, shuffle=False)
     b = next(iter(loader))
     assert b["lip_regions"].shape == (8, 29, 44, 44, 3)
-    assert b["lip_regions"].max() <= 1.0
+    assert b["lip_regions"].dtype == np.uint8  # device-side normalize

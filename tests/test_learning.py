@@ -6,12 +6,15 @@ wide margin on held-out splits — this guards the whole path end to end
 (features → model → optimizer → checkpointing → best-checkpoint test).
 """
 
+import pytest
+
 import numpy as np
 
 from multimodal_lipread_tpu.config import Config
 from multimodal_lipread_tpu.data.synthetic import DEFAULT_WORDS, make_synthetic_glips
 
 
+@pytest.mark.slow
 def test_audio_model_generalizes(tmp_path):
     from multimodal_lipread_tpu.pipelines.audio import main as audio_main
 
@@ -47,6 +50,7 @@ def test_cue_classifier_generalizes(glips_root, tmp_path):
     assert result["best_val_acc"] >= 75.0, result
 
 
+@pytest.mark.slow
 def test_video_model_generalizes(tmp_path):
     """The video path (uint8 lips → device normalize → CNN) must learn the
     class-conditional synthetic lip textures."""

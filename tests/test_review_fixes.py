@@ -141,6 +141,7 @@ def test_resolve_lip_root_without_wrapper(tmp_path):
     assert resolve_lip_root(cfg) == str(tmp_path / "GLips_lip_regions")
 
 
+@pytest.mark.slow
 def test_reference_cv_config_schema_honored(glips_root, tmp_path):
     """A reference-style cv_config (train.batch/lr/epochs/model_name) must
     drive the cues_video pipeline, not be silently ignored."""

@@ -1,5 +1,7 @@
 """Serving tests: checkpoint → Predictor → predictions; StableHLO export."""
 
+import pytest
+
 import os
 
 import numpy as np
@@ -25,6 +27,7 @@ def _train_tiny_audio(glips_root, tmp_path):
     return cfg, str(tmp_path / "run" / "models_trained" / "resnet_best.msgpack")
 
 
+@pytest.mark.slow
 def test_predictor_from_checkpoint_and_cli_path(glips_root, tmp_path):
     cfg, ckpt = _train_tiny_audio(glips_root, tmp_path)
     assert os.path.exists(ckpt)
@@ -38,6 +41,7 @@ def test_predictor_from_checkpoint_and_cli_path(glips_root, tmp_path):
         assert len(r["logits"]) == 4
 
 
+@pytest.mark.slow
 def test_predictor_padding_matches_unpadded(glips_root, tmp_path):
     from multimodal_lipread_tpu.models.audio import get_audio_model
     from multimodal_lipread_tpu.pipelines.common import load_audio_datasets
@@ -108,6 +112,7 @@ def test_predictor_from_orbax_checkpoint(tmp_path):
     assert preds.shape == (32,)
 
 
+@pytest.mark.slow
 def test_serving_rebuilds_no_batchnorm_models(glips_root, tmp_path):
     """models_without_reg checkpoints (use_batchnorm=False) must be servable."""
     from multimodal_lipread_tpu.pipelines.audio import main as audio_main

@@ -132,6 +132,7 @@ def _randomize_bn_stats(module):
             m.running_var.copy_(1.0 + 0.1 * torch.rand(m.running_var.shape, generator=g))
 
 
+@pytest.mark.slow
 def test_mobilenet_v2_conversion_numerics():
     tmodel = _TorchMobileNetV2().eval()
     _randomize_bn_stats(tmodel)
@@ -143,6 +144,7 @@ def test_mobilenet_v2_conversion_numerics():
     np.testing.assert_allclose(np.asarray(out), ref, atol=3e-4, rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_mobilenet_v3_small_conversion_numerics():
     tmodel = _TorchMobileNetV3Small().eval()
     _randomize_bn_stats(tmodel)

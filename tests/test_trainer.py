@@ -178,6 +178,32 @@ def test_mixup_function_soft_labels():
     np.testing.assert_allclose(np.asarray(mx).sum(axis=1), 1.0, rtol=1e-5)
 
 
+def test_train_single_batch(tmp_path):
+    """Public one-step API: initializes, compiles, steps once, returns loss."""
+    from flax import linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            return nn.Dense(4)(x.reshape(x.shape[0], -1))
+
+    ds = _tiny_dataset(32)
+    trainer = Trainer(
+        Tiny(),
+        TrainerConfig(
+            model_name="tinystep", num_classes=4, batch_size=16, epochs=1,
+            learning_rate=1e-2, test_every_epoch=False,
+            metrics_dir=str(tmp_path / "m"), checkpoints_dir=str(tmp_path / "c"),
+        ),
+    )
+    loss = trainer.train_single_batch(ds)
+    assert np.isfinite(loss) and loss > 0
+    # a second call reuses the compiled step and advances the state
+    step = int(np.asarray(trainer.state["step"]))
+    trainer.train_single_batch(ds)
+    assert int(np.asarray(trainer.state["step"])) == step + 1
+
+
 def test_linear_warmup_schedule(tmp_path):
     """lr_schedule='linear_warmup' reproduces torch get_linear_schedule_with_warmup:
     ramp 0→lr over the warmup steps, then decay linearly to 0 at the last step."""
@@ -232,6 +258,39 @@ def test_orbax_checkpoint_backend(tmp_path):
     result = trainer.fit(ds, ds, ds, progress=None)
     assert os.path.isdir(tmp_path / "c" / "tinyorbax_best.orbax")
     assert "final_test_acc" in result
+
+
+def test_device_resident_matches_host_batching(tmp_path):
+    """device_resident=True (on-device index gather) must reproduce the host
+    batching path exactly — same permutations, same padded batches, same
+    training trajectory."""
+    from flax import linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            return nn.Dense(4)(x.reshape(x.shape[0], -1))
+
+    train_ds = _tiny_dataset(40)  # 40 % 16 != 0 → exercises padding
+    val_ds = _tiny_dataset(16, seed=1)
+
+    def run(resident, tag):
+        t = Trainer(
+            Tiny(),
+            TrainerConfig(
+                model_name=tag, num_classes=4, batch_size=16, epochs=3,
+                learning_rate=1e-2, device_resident=resident, test_every_epoch=False,
+                metrics_dir=str(tmp_path / tag / "m"),
+                checkpoints_dir=str(tmp_path / tag / "c"),
+            ),
+        )
+        return t.fit(train_ds, val_ds, progress=None)["history"]
+
+    h_host = run(False, "host")
+    h_dev = run(True, "dev")
+    for a, b in zip(h_host, h_dev):
+        assert a["train_loss"] == pytest.approx(b["train_loss"], rel=1e-5)
+        assert a["val_acc"] == pytest.approx(b["val_acc"], abs=1e-6)
 
 
 def test_remat_training_matches_plain(tmp_path):

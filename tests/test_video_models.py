@@ -11,7 +11,14 @@ BATCH, T, H, W, C = 2, 3, 44, 44, 3
 NUM_CLASSES = 4
 
 
-@pytest.mark.parametrize("name", VIDEO_MODEL_NAMES)
+@pytest.mark.parametrize(
+    "name",
+    [
+        # shufflenet's hand-assembled stages have the heaviest CPU compile
+        pytest.param(n, marks=pytest.mark.slow) if n == "shufflenet_lstm" else n
+        for n in VIDEO_MODEL_NAMES
+    ],
+)
 def test_video_model_output_shape(name):
     model = get_video_model(name, NUM_CLASSES)
     x = np.random.default_rng(0).random((BATCH, T, H, W, C), np.float32)

@@ -1,5 +1,7 @@
 """End-to-end video pipeline test on the synthetic lip-region mirror tree."""
 
+import pytest
+
 import os
 
 import numpy as np
@@ -28,6 +30,7 @@ def test_resolve_lip_root_derivation(glips_root):
     assert resolve_lip_root(cfg) == _lip_root(glips_root)
 
 
+@pytest.mark.slow
 def test_video_pipeline_end_to_end(glips_root, tmp_path):
     cfg = Config.from_dict(
         {
