@@ -29,36 +29,47 @@ import time
 import numpy as np
 
 BATCH = 128  # audio per-chip batch; saturates the chip (flat from 128 to 512)
-VIDEO_BATCH = 64  # per-chip for the 29-frame video/fusion models
+VIDEO_BATCH = 128  # per-chip for the 29-frame video/fusion models; +9% over 64 (sweep: 64/128/256)
 STEPS = 30
-VIDEO_STEPS = 10
+VIDEO_STEPS = 30  # ~30 ms of fixed tunnel-fetch latency per trial; 10 steps skewed dt by ~15%
 WARMUP = 3
 
 
 def _measured_peak_tflops(dtype_name: str) -> float:
-    """Peak GEMM TFLOP/s at the given dtype, measured with value-fetch fencing."""
+    """Peak GEMM TFLOP/s at the given dtype, measured with value-fetch fencing.
+
+    A single GEMM is dwarfed by the fixed host-fetch latency of the axon
+    tunnel (a 1.1-TFLOP 8192^3 matmul "measures" ~30 TF on a ~200-TF chip),
+    so we chain K dependent GEMMs inside one jitted fori_loop — ~70 TFLOP of
+    work — and fetch one scalar at the end. The loop-carried value is scaled
+    back toward 1.0 each iteration so bf16 never saturates.
+    """
     import jax
     import jax.numpy as jnp
+    from jax import lax
 
     n = 8192
+    k_iters = 64
     dt = jnp.bfloat16 if dtype_name == "bf16" else jnp.float32
     a = jnp.ones((n, n), dt)
-    b = jnp.ones((n, n), dt)
+    b = (jnp.eye(n, dtype=jnp.float32) * (1.0 / n)).astype(dt)
 
     @jax.jit
-    def mm(a, b):
-        c = a @ b
-        return c, jnp.float32(c[0, 0])
+    def chain(a, b):
+        def body(_, c):
+            return (c @ b).astype(dt)
 
-    _, s = mm(a, b)
-    float(s)
+        c = lax.fori_loop(0, k_iters, body, a)
+        return jnp.float32(c[0, 0])
+
+    float(chain(a, b))  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        out, s = mm(a, b)
+        s = chain(a, b)
         float(s)
         best = min(best, time.perf_counter() - t0)
-    return 2 * n**3 / best / 1e12
+    return k_iters * 2 * n**3 / best / 1e12
 
 
 def _flops_of(compiled) -> float:
@@ -250,8 +261,12 @@ def bench_torch_baseline() -> float:
     x = torch.randn(BATCH, 80, 117)
     y = torch.randint(0, 4, (BATCH,))
 
-    model(x)  # warmup
-    steps = 4
+    # warmup must include a FULL step: Adam state is lazily allocated on the
+    # first .step(), which would otherwise be charged to the timed loop
+    opt.zero_grad()
+    loss_fn(model(x), y).backward()
+    opt.step()
+    steps = 2  # ~30 s/step on this host; bounds baseline cost at ~1 min
     t0 = time.perf_counter()
     for _ in range(steps):
         opt.zero_grad()

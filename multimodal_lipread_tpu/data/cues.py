@@ -154,6 +154,16 @@ _TOKEN_MODEL_NAMES = {
 }
 
 
+def _local_hf_weights_available(name: str) -> bool:
+    """True iff the HF hub cache already holds `name` — a pure filesystem
+    probe, so callers can skip the ~40 s torch/transformers import when a
+    local_files_only load would fail anyway (zero-egress environments)."""
+    cache = os.environ.get("HUGGINGFACE_HUB_CACHE") or os.path.join(
+        os.environ.get("HF_HOME", os.path.expanduser("~/.cache/huggingface")), "hub"
+    )
+    return os.path.isdir(os.path.join(cache, "models--" + name.replace("/", "--")))
+
+
 class SentenceTransformerEmbedder:
     """sentence-transformers backend (reference models); raises if weights
     are not locally available."""
@@ -161,6 +171,17 @@ class SentenceTransformerEmbedder:
     cache_tag = "st"
 
     def __init__(self, model: str = "mpnet", local_files_only: bool = True):
+        if local_files_only:
+            needed = (
+                [_ST_NAMES["minilm"], _ST_NAMES["mpnet"]]
+                if model == "ensemble" else [_ST_NAMES[model]]
+            )
+            missing = [n for n in needed if not _local_hf_weights_available(n)]
+            if missing:
+                raise RuntimeError(
+                    f"no local HF cache for {missing}; pre-download with "
+                    "tools/fetch_weights.py or pass local_files_only=False"
+                )
         from sentence_transformers import SentenceTransformer  # noqa: deferred
 
         # local_files_only by default: in zero-egress environments a hub
@@ -210,10 +231,14 @@ def get_token_embedder(model: str = "mpnet", max_length: int = 32, allow_fallbac
             f"'{model}' has no token-level backend; choose from {sorted(_TOKEN_MODEL_NAMES)}"
         )
     try:
+        name = _TOKEN_MODEL_NAMES[model]
+        if not _local_hf_weights_available(name):
+            raise RuntimeError(
+                f"no local HF cache for {name}; pre-download or use the hashing fallback"
+            )
         import torch
         from transformers import AutoModel, AutoTokenizer
 
-        name = _TOKEN_MODEL_NAMES[model]
         tokenizer = AutoTokenizer.from_pretrained(name, local_files_only=True)
         hf_model = AutoModel.from_pretrained(name, local_files_only=True)
         hf_model.eval()

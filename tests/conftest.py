@@ -18,6 +18,11 @@ import jax
 # JAX_PLATFORMS; re-pin to CPU before any backend is initialized.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent compilation cache: the e2e tests' train-step compiles (minutes
+# each on CPU) are identical across runs — repeat suite runs skip them.
+jax.config.update("jax_compilation_cache_dir", "/tmp/mlt_jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import numpy as np
 import pytest
 

@@ -25,6 +25,7 @@ def test_load_audio_datasets_shapes(glips_root):
     assert 0.5 < float(mel.std()) < 1.5
 
 
+@pytest.mark.slow  # ~50 s; the default lane keeps the streaming audio e2e
 def test_audio_pipeline_end_to_end(glips_root, tmp_path):
     cfg = Config.from_dict(
         {

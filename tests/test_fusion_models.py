@@ -44,12 +44,36 @@ def _check(model, *inputs):
 
 
 def _mark_mobile_slow(names):
-    # the *_fusion_mobile variants build MobileNetV2 encoders whose CPU
-    # compiles dominate this file — slow lane for the heaviest one per zoo
+    # the *_fusion_mobile variants build MobileNetV2 encoders; whichever test
+    # FIRST builds one eagerly pays ~30 s of per-op CPU compiles (later ones
+    # hit jax's in-process op cache) — all of them ride the slow lane, and
+    # the default lane covers MobileNetV2 once via the video zoo
     return [
-        pytest.param(n, marks=pytest.mark.slow) if n == "early_fusion_mobile" else n
+        pytest.param(n, marks=pytest.mark.slow) if n.endswith("_mobile") else n
         for n in names
     ]
+
+
+def test_fusion_model_shapes_traced():
+    """Every model in all three fusion zoos, init+apply under jax.eval_shape —
+    tracing-only full-registry coverage for the default lane (the numeric
+    forwards of the MobileNet variants ride the slow lane)."""
+    rng = jax.random.PRNGKey(0)
+    zoos = [
+        (AUDIO_CUES_MODEL_NAMES, get_audio_cues_model, (_mel(), _cue())),
+        (CUES_VIDEO_MODEL_NAMES, get_cues_video_model, (_cue(), _video())),
+        (TRIPLE_MODEL_NAMES, get_triple_model, (_mel(), _cue(), _video())),
+    ]
+    for names, factory, inputs in zoos:
+        for name in names:
+            model = factory(name, NUM_CLASSES)
+            variables = jax.eval_shape(
+                lambda m=model: m.init({"params": rng, "dropout": rng}, *inputs, train=False)
+            )
+            out = jax.eval_shape(
+                lambda v, m=model: m.apply(v, *inputs, train=False), variables
+            )
+            assert out.shape == (BATCH, NUM_CLASSES), name
 
 
 @pytest.mark.parametrize("name", _mark_mobile_slow(AUDIO_CUES_MODEL_NAMES))
@@ -62,7 +86,7 @@ def test_cues_video_model_shapes(name):
     _check(get_cues_video_model(name, NUM_CLASSES), _cue(), _video())
 
 
-@pytest.mark.parametrize("name", TRIPLE_MODEL_NAMES)
+@pytest.mark.parametrize("name", _mark_mobile_slow(TRIPLE_MODEL_NAMES))
 def test_triple_model_shapes(name):
     _check(get_triple_model(name, NUM_CLASSES), _mel(), _cue(), _video())
 
