@@ -14,6 +14,6 @@ TPU-first:
   reproducing the reference's CSV/TXT logging and best-val checkpointing
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from multimodal_lipread_tpu.config import Config, load_config  # noqa: F401
