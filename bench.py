@@ -150,8 +150,11 @@ def _bench_train_step(model, inputs, labels, steps, extra_loss_inputs=None):
     return clips_per_sec, flops_per_step, best_dt
 
 
-def bench_audio_vgg_lstm() -> float:
-    """The driver metric: audio vgg_lstm e2e incl. on-device log-mel (bf16)."""
+def bench_audio_vgg_lstm():
+    """The driver metric: audio vgg_lstm e2e incl. on-device log-mel (bf16).
+
+    Returns (clips/s/chip, flops/step, best trial seconds) so main() can
+    also report the audio path's MFU."""
     import jax
     import jax.numpy as jnp
 
@@ -165,8 +168,7 @@ def bench_audio_vgg_lstm() -> float:
     )
     waves = np.random.default_rng(0).standard_normal((batch, 20000)).astype(np.float32) * 1000.0
     labels = np.random.default_rng(1).integers(0, 4, size=batch).astype(np.int32)
-    clips, _flops, _dt = _bench_train_step(model, (waves,), labels, STEPS)
-    return clips
+    return _bench_train_step(model, (waves,), labels, STEPS)
 
 
 def bench_video(name: str, peak_tflops: float) -> dict:
@@ -278,7 +280,7 @@ def bench_torch_baseline() -> float:
 
 
 def main(full: bool = True):
-    value = bench_audio_vgg_lstm()
+    value, audio_flops, audio_dt = bench_audio_vgg_lstm()
     baseline = bench_torch_baseline()
     vs = value / baseline if baseline == baseline and baseline > 0 else -1.0
     # line 1: the driver metric, format unchanged
@@ -291,6 +293,13 @@ def main(full: bool = True):
     if not full:
         return
     peak = _measured_peak_tflops("bf16")
+    if np.isfinite(audio_flops):
+        audio_mfu = (audio_flops * STEPS / audio_dt) / (peak * 1e12)
+        print(json.dumps({
+            "metric": "audio vgg_lstm MFU (bf16, vs measured peak)",
+            "value": round(audio_mfu, 4), "unit": "fraction",
+            "peak_tflops_measured": round(peak, 2),
+        }), flush=True)
     for line in (
         bench_video("mobilenet_lstm", peak),
         bench_video("resnet_lstm", peak),
