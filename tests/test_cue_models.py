@@ -95,3 +95,32 @@ def test_cues_pipeline_end_to_end(glips_root, tmp_path):
     csv_path = tmp_path / "cues" / "metrics" / "dense_nn_training_log.csv"
     header = csv_path.read_text().splitlines()[0]
     assert header == "epoch,train_loss,train_acc,val_loss,val_acc"  # train/val-only schema
+
+
+def test_hf_cache_probe(tmp_path, monkeypatch):
+    """_local_hf_weights_available is a pure filesystem probe: True only
+    when the hub cache holds the model dir, honoring HF_HOME /
+    HUGGINGFACE_HUB_CACHE (guards the zero-egress fast path that skips the
+    torch/transformers import)."""
+    from multimodal_lipread_tpu.data.cues import _local_hf_weights_available
+
+    monkeypatch.delenv("HUGGINGFACE_HUB_CACHE", raising=False)
+    monkeypatch.setenv("HF_HOME", str(tmp_path))
+    name = "sentence-transformers/all-mpnet-base-v2"
+    assert not _local_hf_weights_available(name)
+    (tmp_path / "hub" / ("models--" + name.replace("/", "--"))).mkdir(parents=True)
+    assert _local_hf_weights_available(name)
+    # explicit HUGGINGFACE_HUB_CACHE wins over HF_HOME
+    monkeypatch.setenv("HUGGINGFACE_HUB_CACHE", str(tmp_path / "elsewhere"))
+    assert not _local_hf_weights_available(name)
+
+
+def test_get_token_embedder_falls_back_without_cache(tmp_path, monkeypatch):
+    from multimodal_lipread_tpu.data.cues import get_token_embedder, HashingEmbedder
+
+    monkeypatch.delenv("HUGGINGFACE_HUB_CACHE", raising=False)
+    monkeypatch.setenv("HF_HOME", str(tmp_path))  # empty: no weights cached
+    e = get_token_embedder("mpnet", allow_fallback=True)
+    assert isinstance(e, HashingEmbedder)
+    with pytest.raises(RuntimeError, match="local"):
+        get_token_embedder("mpnet", allow_fallback=False)
