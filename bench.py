@@ -279,6 +279,67 @@ def bench_torch_baseline() -> float:
     return BATCH * steps / dt
 
 
+def bench_serving() -> list:
+    """Inference-path numbers for serving.Predictor (bf16, fixed batch).
+
+    Throughput: 30 back-to-back batch forwards, one value fetch at the end
+    (the device executes serially; this is exactly a loaded server's steady
+    state). Single-batch latency: one forward + fetch — on this tunneled
+    backend it includes ~30 ms of fixed host-fetch latency, so it is an
+    upper bound; on a locally-attached chip subtract the fetch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_lipread_tpu.models.audio import get_audio_model
+    from multimodal_lipread_tpu.models.frontend import WaveToLogMel
+    from multimodal_lipread_tpu.models.video import get_video_model
+    from multimodal_lipread_tpu.serving import Predictor
+
+    rng = np.random.default_rng(0)
+    out = []
+    cases = [
+        ("audio vgg_lstm (wave in, incl. log-mel)",
+         WaveToLogMel(get_audio_model("vgg_lstm", 4, version=16, dtype=jnp.bfloat16)),
+         (jnp.asarray(rng.standard_normal((BATCH, 20000)).astype(np.float32) * 1000.0),)),
+        ("video resnet_lstm (uint8 lips in)",
+         get_video_model("resnet_lstm", 4, dtype=jnp.bfloat16),
+         (jnp.asarray(rng.integers(0, 256, (VIDEO_BATCH, 29, 44, 44, 3)).astype(np.uint8)
+                      .astype(np.float32) / 255.0),)),
+    ]
+    for name, model, inputs in cases:
+        key = jax.random.PRNGKey(0)
+        variables = model.init({"params": key, "dropout": key},
+                               *(x[:2] for x in inputs), train=False)
+        pred = Predictor(model=model, variables=variables,
+                         batch_size=inputs[0].shape[0])
+        fwd = pred._forward()
+        logits = fwd(pred.variables, *inputs)
+        float(jnp.sum(logits.astype(jnp.float32)))  # compile + warm
+        n_calls = 30
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(n_calls):
+                logits = fwd(pred.variables, *inputs)
+            float(jnp.sum(logits.astype(jnp.float32)))
+            best = min(best, time.perf_counter() - t0)
+        thr = inputs[0].shape[0] * n_calls / best
+        lat = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            logits = fwd(pred.variables, *inputs)
+            float(jnp.sum(logits.astype(jnp.float32)))
+            lat = min(lat, time.perf_counter() - t0)
+        out.append({
+            "metric": f"serving {name} inference clips/sec/chip",
+            "value": round(thr, 2), "unit": "clips/s/chip",
+            "batch_latency_ms_upper_bound": round(lat * 1e3, 2),
+            "batch": inputs[0].shape[0],
+        })
+    return out
+
+
 def main(full: bool = True):
     value, audio_flops, audio_dt = bench_audio_vgg_lstm()
     baseline = bench_torch_baseline()
@@ -311,4 +372,8 @@ def main(full: bool = True):
 if __name__ == "__main__":
     import sys
 
-    main(full="--driver-only" not in sys.argv)
+    if "--serving" in sys.argv:
+        for line in bench_serving():
+            print(json.dumps(line), flush=True)
+    else:
+        main(full="--driver-only" not in sys.argv)
