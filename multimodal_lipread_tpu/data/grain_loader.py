@@ -12,6 +12,15 @@ Sources decode on the host (WAV via the native threaded decoder when
 available) and yield fixed-shape numpy records; ``make_loader`` wraps them in
 a ``grain.DataLoader`` with shuffling, worker processes, and
 shard-by-process options. Device placement/sharding stays in the Trainer.
+
+Invocation constraint with ``worker_count > 0``: Grain worker processes use
+multiprocessing *spawn*, which re-imports the parent's ``__main__`` from its
+module spec/argv. Launch pipelines through the real CLI (``python -m
+multimodal_lipread_tpu.pipelines.<name>`` or the ``mlt-*`` console scripts)
+— driving them via ``runpy`` with a synthetic ``sys.argv`` makes spawn
+reconstruct a bogus module name and the workers die on import (observed:
+``No module named multimodal_lipread_tpu.pipelines.--config``). pytest
+runs are fine (pytest owns ``__main__``).
 """
 
 from __future__ import annotations
