@@ -98,6 +98,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             checkpoints_dir=ckpt_dir,
             test_every_epoch=True,
             device_resident=cfg.get("training.device_resident", False),
+            handle_preemption=cfg.get("training.handle_preemption", False),
         ),
     )
     trainer.ensure_initialized(datasets["train"])

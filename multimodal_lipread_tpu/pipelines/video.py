@@ -113,6 +113,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             # (visual_config.yaml:33-46); here it actually works, default off
             mixup_alpha=cfg.get("augmentation.mixup_alpha", 0.0),
             device_resident=cfg.get("training.device_resident", False),
+            handle_preemption=cfg.get("training.handle_preemption", False),
         ),
     )
     trainer.ensure_initialized(datasets["train"])

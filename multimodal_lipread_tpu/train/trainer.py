@@ -107,6 +107,13 @@ class TrainerConfig:
     # param-path prefixes excluded from ALL optimizer updates (weight decay
     # included) — torch requires_grad=False semantics for frozen encoders
     frozen_param_prefixes: Tuple[Tuple[str, ...], ...] = ()
+    # catch SIGTERM/SIGINT during fit(): finish the in-flight batch, write
+    # the rolling checkpoint (attributed to the last COMPLETED epoch, so a
+    # --resume replays the interrupted epoch), and return with
+    # result["preempted"]=True instead of dying mid-step — the preemption
+    # story a TPU-pod job needs. (The reference has none; a killed run
+    # restarts from its last best-val save at unknown epoch.)
+    handle_preemption: bool = False
 
 
 @dataclasses.dataclass
@@ -135,6 +142,7 @@ class Trainer:
         self._batch_sharding = batch_sharding(self.mesh)
         self._apply_train_kwargs = apply_train_kwargs or {}
         self._compiled = False
+        self._preempted = False
         self.state: Optional[Dict[str, Any]] = None
         self.scheduler = ReduceLROnPlateau(
             config.learning_rate,
@@ -481,6 +489,8 @@ class Trainer:
         if isinstance(ds, ArrayDataset) and self.config.device_resident:
             data, labels_all = self._device_dataset(ds)
             for idx, weights in self._index_batches(ds, shuffle=True, rng=rng):
+                if self._preempted:
+                    break
                 if self._lr_step_fn is not None:
                     self._set_lr(self._lr_step_fn(self._global_step))
                 self.state, l, c, n, w = self._train_step_idx(
@@ -499,6 +509,8 @@ class Trainer:
         else:  # StreamingDataset (grain-backed host loading)
             batches = self._stream_batches(ds, epoch, shuffle=True)
         for inputs, labels, weights in batches:
+            if self._preempted:
+                break
             if self._lr_step_fn is not None:
                 self._set_lr(self._lr_step_fn(self._global_step))
             self.state, l, c, n, w = self._train_step(self.state, inputs, labels, weights, base_rng)
@@ -575,6 +587,34 @@ class Trainer:
             new = jax.device_put(new, old.sharding)
         self.state["opt_state"].hyperparams["learning_rate"] = new
 
+    def request_preemption(self) -> None:
+        """Ask a running fit() to stop: the in-flight batch finishes, a
+        checkpoint is written, and fit returns with result['preempted']=True.
+        Safe to call from signal handlers or other threads."""
+        self._preempted = True
+
+    def _install_preemption_handlers(self):
+        """SIGTERM/SIGINT → request_preemption. Returns an undo callable.
+        No-op outside the main thread (signal module restriction)."""
+        import signal
+        import threading
+
+        if threading.current_thread() is not threading.main_thread():
+            return lambda: None
+        previous = {}
+
+        def _handler(signum, frame):
+            self.request_preemption()
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            previous[sig] = signal.signal(sig, _handler)
+
+        def _restore():
+            for sig, old in previous.items():
+                signal.signal(sig, old)
+
+        return _restore
+
     def fit(
         self,
         train_ds: Any,  # ArrayDataset or StreamingDataset (grain-backed)
@@ -588,6 +628,24 @@ class Trainer:
         self.ensure_initialized(train_ds)
         if not self._compiled:
             self._build_steps()
+        self._preempted = False  # a resumed/reused Trainer starts fresh
+        restore_signals = (
+            self._install_preemption_handlers() if cfg.handle_preemption else lambda: None
+        )
+        try:
+            return self._fit_loop(train_ds, val_ds, test_ds, resume, progress)
+        finally:
+            restore_signals()
+
+    def _fit_loop(
+        self,
+        train_ds: Any,
+        val_ds: Any,
+        test_ds: Optional[Any],
+        resume: bool,
+        progress: Optional[Callable[[str], None]],
+    ) -> Dict[str, Any]:
+        cfg = self.config
 
         if cfg.lr_schedule == "linear_warmup":
             # torch get_linear_schedule_with_warmup over the whole run;
@@ -652,6 +710,32 @@ class Trainer:
             tr = self.train_epoch(train_ds, data_rng, base_rng, epoch=epoch)
             if tracing:
                 jax.profiler.stop_trace()
+            if self._preempted:
+                # attribute the save to the last COMPLETED epoch: --resume
+                # replays the interrupted one from its start
+                ckpt = {
+                    "epoch": epoch - 1,
+                    "state": jax.tree_util.tree_map(np.asarray, self.state),
+                    "val_acc": float(best_val_acc),
+                    "scheduler_lr": float(self.scheduler.lr),
+                    "scheduler_best": float(
+                        self.scheduler.best if self.scheduler.best is not None else 0.0
+                    ),
+                    "scheduler_has_best": self.scheduler.best is not None,
+                    "scheduler_bad_epochs": int(self.scheduler.num_bad_epochs),
+                    "best_val_acc": float(best_val_acc),
+                }
+                self._save_ckpt(rolling_path, ckpt)
+                if progress:
+                    progress(
+                        f"Preempted during epoch {epoch}; checkpoint saved to "
+                        f"{rolling_path} (resume replays epoch {epoch})"
+                    )
+                return {
+                    "history": history,
+                    "best_val_acc": best_val_acc,
+                    "preempted": True,
+                }
             va = self.evaluate(val_ds)
             if self._lr_step_fn is None:
                 metric = va.loss if cfg.scheduler_mode == "min" else va.acc

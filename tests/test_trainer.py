@@ -317,3 +317,100 @@ def test_remat_training_matches_plain(tmp_path):
         return t.fit(ds, ds, progress=None)["history"][-1]["train_loss"]
 
     assert run(False, "plain") == pytest.approx(run(True, "remat"), rel=1e-5)
+
+
+def _mlp_module(num_classes=4):
+    from flax import linen as nn
+
+    class Mlp(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = x.reshape(x.shape[0], -1)
+            x = nn.relu(nn.Dense(32)(x))
+            return nn.Dense(num_classes)(x)
+
+    return Mlp()
+
+
+def test_preemption_checkpoint_and_resume(tmp_path):
+    """request_preemption mid-run → rolling checkpoint for the last
+    completed epoch + result['preempted']; a resumed fit replays the
+    interrupted epoch and finishes the full schedule."""
+    train_ds = _tiny_dataset(96, seed=0)
+    val_ds = _tiny_dataset(32, seed=1)
+    test_ds = _tiny_dataset(32, seed=2)
+
+    def make_trainer():
+        return Trainer(
+            _mlp_module(),
+            TrainerConfig(
+                model_name="pre", num_classes=4, batch_size=16, epochs=5,
+                learning_rate=1e-2, weight_decay=0.0,
+                metrics_dir=str(tmp_path / "metrics"),
+                checkpoints_dir=str(tmp_path / "ckpt"),
+                handle_preemption=True, rolling_checkpoint=True,
+            ),
+        )
+
+    trainer = make_trainer()
+    hits = {"n": 0}
+
+    def progress(msg):
+        if msg.startswith("Epoch"):
+            hits["n"] += 1
+            if hits["n"] == 2:  # preempt during epoch 3's train pass
+                trainer.request_preemption()
+
+    result = trainer.fit(train_ds, val_ds, test_ds, progress=progress)
+    assert result.get("preempted") is True
+    assert len(result["history"]) == 2  # epochs 1-2 completed
+    ckpt_path = tmp_path / "ckpt" / "pre_checkpoint.msgpack"
+    assert os.path.exists(ckpt_path)
+    from multimodal_lipread_tpu.train.checkpoint import load_checkpoint
+
+    # template-free probe of the saved epoch: reuse trainer state template
+    tpl = {
+        "epoch": 0,
+        "state": jax.tree_util.tree_map(np.asarray, trainer.state),
+        "val_acc": 0.0, "scheduler_lr": 0.0, "scheduler_best": 0.0,
+        "scheduler_has_best": False, "scheduler_bad_epochs": 0,
+        "best_val_acc": 0.0,
+    }
+    assert int(load_checkpoint(str(ckpt_path), tpl)["epoch"]) == 2
+
+    resumed = make_trainer()
+    result2 = resumed.fit(train_ds, val_ds, test_ds, resume=True, progress=None)
+    assert "preempted" not in result2
+    # resumed run covers epochs 3..5 and produces the final test
+    assert [h["epoch"] for h in result2["history"]] == [3, 4, 5]
+    assert result2["final_test_acc"] > 80.0
+
+
+def test_preemption_real_sigterm(tmp_path):
+    """The installed handler catches a real SIGTERM in-process and converts
+    it into a clean preemption checkpoint instead of a kill."""
+    import signal
+
+    train_ds = _tiny_dataset(96, seed=0)
+    val_ds = _tiny_dataset(32, seed=1)
+
+    trainer = Trainer(
+        _mlp_module(),
+        TrainerConfig(
+            model_name="sig", num_classes=4, batch_size=16, epochs=50,
+            learning_rate=1e-2, weight_decay=0.0,
+            metrics_dir=str(tmp_path / "metrics"),
+            checkpoints_dir=str(tmp_path / "ckpt"),
+            handle_preemption=True,
+        ),
+    )
+
+    def progress(msg):
+        if msg.startswith("Epoch 2/"):
+            os.kill(os.getpid(), signal.SIGTERM)
+
+    result = trainer.fit(train_ds, val_ds, None, progress=progress)
+    assert result.get("preempted") is True
+    assert os.path.exists(tmp_path / "ckpt" / "sig_checkpoint.msgpack")
+    # handler was restored after fit
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
