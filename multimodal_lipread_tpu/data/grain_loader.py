@@ -177,3 +177,81 @@ def make_loader(
         operations=[gp.Batch(batch_size=batch_size, drop_remainder=False)],
         worker_count=worker_count,
     )
+
+
+class NativeStreamingDataset:
+    """Trainer-compatible streaming dataset on the native C++ prefetcher.
+
+    Same duck-typed interface as :class:`StreamingDataset`
+    (``__len__`` / ``example_inputs`` / ``epoch_batches``), but the host
+    loading runs on ``native/mlt_io.cpp``'s thread pool + bounded in-order
+    ring instead of Grain worker processes: no multiprocessing spawn (works
+    under any launcher), no per-record Python, disk reads overlap both
+    compute and the host→device copies. Single modality per dataset: raw
+    uint8 lip ``.npy`` records or PCM16 WAV → f32 waveforms.
+
+    Per-epoch order is ``default_rng(seed + epoch).permutation`` sharded
+    ``[shard_index::shard_count]`` — the same per-host splitting contract as
+    the Grain path, so multi-host jobs read disjoint epoch slices.
+    """
+
+    def __init__(
+        self,
+        entries: Sequence[ClipEntry],
+        class_to_idx: Dict[str, int],
+        kind: str,  # 'npy_u8' (lips) or 'wav'
+        record_shape: Sequence[int],
+        sample_rate: int = 16000,
+        seed: int = 0,
+        n_threads: Optional[int] = None,
+        capacity: int = 256,
+        shard_index: Optional[int] = None,
+        shard_count: Optional[int] = None,
+    ):
+        import jax
+
+        from multimodal_lipread_tpu.data.native_io import DEFAULT_THREADS, NativePrefetcher
+
+        self.entries = list(entries)
+        self.labels = np.asarray(
+            [class_to_idx[e.word] for e in self.entries], np.int32
+        )
+        self.seed = seed
+        self.shard_index = jax.process_index() if shard_index is None else shard_index
+        self.shard_count = jax.process_count() if shard_count is None else shard_count
+        self._prefetcher = NativePrefetcher(
+            [e.path for e in self.entries], kind, record_shape,
+            sample_rate=sample_rate, capacity=capacity,
+            n_threads=n_threads or DEFAULT_THREADS,
+        )
+
+    def __len__(self) -> int:
+        n, c, i = len(self.entries), self.shard_count, self.shard_index
+        return (n - i + c - 1) // c
+
+    def example_inputs(self, n: int) -> tuple:
+        rec = np.zeros(self._prefetcher.record_shape, self._prefetcher.dtype)
+        return (np.broadcast_to(rec[None], (n,) + rec.shape).copy(),)
+
+    def _epoch_order(self, epoch: int, shuffle: bool) -> np.ndarray:
+        n = len(self.entries)
+        order = (
+            np.random.default_rng(self.seed + epoch).permutation(n)
+            if shuffle else np.arange(n)
+        )
+        return order[self.shard_index::self.shard_count]
+
+    def epoch_batches(self, epoch: int, shuffle: bool, batch_size: int):
+        order = self._epoch_order(epoch, shuffle).astype(np.int64)
+        self._prefetcher.start_epoch(order)
+        consumed = 0
+        while True:
+            batch = self._prefetcher.next_batch(batch_size)
+            if batch is None:
+                break
+            labels = self.labels[order[consumed:consumed + len(batch)]]
+            consumed += len(batch)
+            yield (batch,), labels
+
+    def close(self) -> None:
+        self._prefetcher.close()

@@ -56,6 +56,23 @@ def get_lib() -> Optional[ctypes.CDLL]:
                 ctypes.POINTER(ctypes.c_char_p), ctypes.c_longlong, ctypes.c_longlong,
                 ctypes.c_float, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
             ]
+            lib.mlt_prefetch_create.restype = ctypes.c_void_p
+            lib.mlt_prefetch_create.argtypes = [
+                ctypes.POINTER(ctypes.c_char_p), ctypes.c_longlong, ctypes.c_int,
+                ctypes.c_longlong, ctypes.c_int, ctypes.c_longlong, ctypes.c_int,
+            ]
+            lib.mlt_prefetch_start.restype = None
+            lib.mlt_prefetch_start.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong,
+            ]
+            lib.mlt_prefetch_next.restype = ctypes.c_longlong
+            lib.mlt_prefetch_next.argtypes = [
+                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+            ]
+            lib.mlt_prefetch_first_error.restype = ctypes.c_longlong
+            lib.mlt_prefetch_first_error.argtypes = [ctypes.c_void_p]
+            lib.mlt_prefetch_destroy.restype = None
+            lib.mlt_prefetch_destroy.argtypes = [ctypes.c_void_p]
             _lib = lib
         except OSError:
             _load_failed = True
@@ -109,3 +126,83 @@ def load_npy_u8_batch(
     if status != 0:
         return None
     return out.reshape((len(paths),) + tuple(shape))
+
+
+class NativePrefetcher:
+    """In-order background prefetcher over a fixed file list (C++ thread
+    pool + bounded ring; see native/mlt_io.cpp "prefetcher").
+
+    One instance per dataset split; per epoch, call :meth:`start_epoch` with
+    the (shuffled, sharded) index order, then drain :meth:`next_batch` until
+    it returns fewer than requested. Failed reads are zero-filled and
+    reported via :attr:`first_error` (the reference's loaders raise
+    mid-epoch instead — here a bad file costs one zeroed weight-0-able
+    record, not the run).
+
+    kind='npy_u8': records are raw uint8 arrays of ``record_shape``.
+    kind='wav': records are float32 waveforms of ``record_shape=(samples,)``
+    decoded from PCM16 WAVs at ``sample_rate``.
+    """
+
+    def __init__(
+        self,
+        paths: Sequence[str],
+        kind: str,
+        record_shape: Sequence[int],
+        sample_rate: int = 16000,
+        capacity: int = 256,
+        n_threads: int = DEFAULT_THREADS,
+    ):
+        lib = get_lib()
+        if lib is None:
+            raise RuntimeError("native library unavailable (no compiler?)")
+        if kind not in ("npy_u8", "wav"):
+            raise ValueError(f"unknown prefetch kind: {kind!r}")
+        self._lib = lib
+        self.kind = kind
+        self.record_shape = tuple(int(s) for s in record_shape)
+        self.dtype = np.uint8 if kind == "npy_u8" else np.float32
+        elems = int(np.prod(self.record_shape))
+        self._paths_keepalive = _paths_array(paths)  # ctypes must outlive handle
+        self._handle = lib.mlt_prefetch_create(
+            self._paths_keepalive, len(paths), 0 if kind == "npy_u8" else 1,
+            elems, sample_rate, capacity, n_threads,
+        )
+        if not self._handle:
+            raise RuntimeError("mlt_prefetch_create failed")
+        self.n_files = len(paths)
+
+    def start_epoch(self, order: np.ndarray) -> None:
+        order = np.ascontiguousarray(order, np.int64)
+        assert order.size == 0 or (order.min() >= 0 and order.max() < self.n_files)
+        self._order_keepalive = order  # must outlive the epoch
+        self._lib.mlt_prefetch_start(
+            self._handle, order.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+            order.size,
+        )
+
+    def next_batch(self, k: int) -> Optional[np.ndarray]:
+        """The next ≤k records in epoch order; None when the epoch is done."""
+        out = np.empty((k,) + self.record_shape, self.dtype)
+        got = self._lib.mlt_prefetch_next(
+            self._handle, out.ctypes.data_as(ctypes.c_void_p), k
+        )
+        if got == 0:
+            return None
+        return out[:got]
+
+    @property
+    def first_error(self) -> int:
+        """Index of the first failed read this epoch, or -1."""
+        return int(self._lib.mlt_prefetch_first_error(self._handle))
+
+    def close(self) -> None:
+        if getattr(self, "_handle", None):
+            self._lib.mlt_prefetch_destroy(self._handle)
+            self._handle = None
+
+    def __del__(self):  # best-effort; close() is the real API
+        try:
+            self.close()
+        except Exception:
+            pass

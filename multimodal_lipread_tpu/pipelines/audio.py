@@ -50,18 +50,35 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
         # grain (per-host sharded); the fused log-mel runs ON DEVICE inside
         # the jitted train step (models/frontend.py)
         from multimodal_lipread_tpu.data.glips import AUDIO_EXTS, SPLITS, scan_glips
-        from multimodal_lipread_tpu.data.grain_loader import AudioClipSource, StreamingDataset
+        from multimodal_lipread_tpu.data.grain_loader import (
+            AudioClipSource,
+            NativeStreamingDataset,
+            StreamingDataset,
+        )
 
         index = scan_glips(root_dir, exts=AUDIO_EXTS)
-        datasets = {
-            split: StreamingDataset(
-                AudioClipSource(index.by_split(split), index.class_to_idx),
-                input_keys=("waveform",),
-                seed=cfg.get("training.seed", 0),
-                worker_count=cfg.get("dataset.num_workers", 0),
-            )
-            for split in SPLITS
-        }
+        if cfg.get("dataset.loader_backend", "grain") == "native":
+            # C++ thread-pool prefetcher (native/mlt_io.cpp): in-process, no
+            # multiprocessing spawn, PCM16 WAV only (m4a needs grain+ffmpeg)
+            datasets = {
+                split: NativeStreamingDataset(
+                    index.by_split(split), index.class_to_idx,
+                    kind="wav", record_shape=(20000,),
+                    seed=cfg.get("training.seed", 0),
+                    n_threads=cfg.get("dataset.num_workers", 0) or None,
+                )
+                for split in SPLITS
+            }
+        else:
+            datasets = {
+                split: StreamingDataset(
+                    AudioClipSource(index.by_split(split), index.class_to_idx),
+                    input_keys=("waveform",),
+                    seed=cfg.get("training.seed", 0),
+                    worker_count=cfg.get("dataset.num_workers", 0),
+                )
+                for split in SPLITS
+            }
     else:
         datasets, index = load_audio_datasets(root_dir, input_size=input_size)
     assert len(index.classes) == num_classes, (

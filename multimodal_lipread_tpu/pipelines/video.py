@@ -61,18 +61,35 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
         # host RAM — grain workers stream uint8 .npy records (per-host
         # sharded), the Trainer normalizes to [0,1] on device
         from multimodal_lipread_tpu.data.glips import SPLITS, scan_lip_regions
-        from multimodal_lipread_tpu.data.grain_loader import LipClipSource, StreamingDataset
+        from multimodal_lipread_tpu.data.grain_loader import (
+            LipClipSource,
+            NativeStreamingDataset,
+            StreamingDataset,
+        )
 
         index = scan_lip_regions(lip_root)
-        datasets = {
-            split: StreamingDataset(
-                LipClipSource(index.by_split(split), index.class_to_idx),
-                input_keys=("lip_regions",),
-                seed=cfg.get("training.seed", 0),
-                worker_count=cfg.get("dataset.num_workers", 0),
-            )
-            for split in SPLITS
-        }
+        if cfg.get("dataset.loader_backend", "grain") == "native":
+            # C++ thread-pool prefetcher: raw uint8 records straight from
+            # .npy, no multiprocessing spawn, no per-record Python
+            datasets = {
+                split: NativeStreamingDataset(
+                    index.by_split(split), index.class_to_idx,
+                    kind="npy_u8", record_shape=(29, 44, 44, 3),
+                    seed=cfg.get("training.seed", 0),
+                    n_threads=cfg.get("dataset.num_workers", 0) or None,
+                )
+                for split in SPLITS
+            }
+        else:
+            datasets = {
+                split: StreamingDataset(
+                    LipClipSource(index.by_split(split), index.class_to_idx),
+                    input_keys=("lip_regions",),
+                    seed=cfg.get("training.seed", 0),
+                    worker_count=cfg.get("dataset.num_workers", 0),
+                )
+                for split in SPLITS
+            }
     else:
         datasets, index = load_video_datasets(lip_root)
     num_classes = cfg.get("dataset.num_classes", len(index.classes))

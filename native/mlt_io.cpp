@@ -18,9 +18,11 @@
 // file that failed. Outputs for failed files are zero-filled.
 
 #include <atomic>
+#include <condition_variable>
 #include <cstdint>
 #include <cstdio>
 #include <cstring>
+#include <mutex>
 #include <string>
 #include <thread>
 #include <vector>
@@ -175,6 +177,94 @@ bool load_npy_u8(const char* path, long long expected_elems, float scale, float*
     return true;
 }
 
+// Raw-bytes variant of load_npy_u8: same validation, uint8 output (callers
+// keep the 4x-smaller host→device copy and normalize on device).
+bool load_npy_u8_raw(const char* path, long long expected_elems, uint8_t* out) {
+    std::vector<uint8_t> buf;
+    if (!read_file(path, buf) || buf.size() < 12) return false;
+    static const uint8_t magic[6] = {0x93, 'N', 'U', 'M', 'P', 'Y'};
+    if (std::memcmp(buf.data(), magic, 6) != 0) return false;
+    uint8_t major = buf[6];
+    size_t header_len, header_off;
+    if (major == 1) {
+        header_len = rd_u16(buf.data() + 8);
+        header_off = 10;
+    } else {
+        header_len = rd_u32(buf.data() + 8);
+        header_off = 12;
+    }
+    if (header_off + header_len > buf.size()) return false;
+    std::string header(reinterpret_cast<char*>(buf.data() + header_off), header_len);
+    if (header.find("'|u1'") == std::string::npos && header.find("'uint8'") == std::string::npos)
+        return false;
+    if (header.find("'fortran_order': True") != std::string::npos) return false;
+    if (parse_npy_shape_elems(header) != expected_elems) return false;
+    size_t data_off = header_off + header_len;
+    if (static_cast<long long>(buf.size() - data_off) < expected_elems) return false;
+    std::memcpy(out, buf.data() + data_off, expected_elems);
+    return true;
+}
+
+// ---------------------------------------------------------------- prefetcher
+
+// Bounded in-order prefetcher: a worker pool reads records in a
+// caller-supplied epoch order into a sliding window of `capacity` slots;
+// the consumer drains them in order. This is the native replacement for a
+// host DataLoader's worker processes: Python supplies the shuffled order
+// once per epoch and then pulls fixed-size batches while disk reads overlap
+// both compute and the host→device copies.
+struct Prefetcher {
+    std::vector<std::string> paths;
+    int kind;                 // 0 = raw uint8 .npy records, 1 = WAV → f32
+    long long record_elems;   // uint8 bytes (kind 0) / f32 samples (kind 1)
+    int expected_rate;
+    long long capacity;
+    std::vector<std::vector<uint8_t>> slots;
+    std::vector<int> state;   // 0 empty, 1 ready, 2 failed(zero-filled)
+    std::vector<long long> order;
+    long long n_epoch = 0;
+    long long next_fill = 0;
+    long long next_consume = 0;
+    long long first_error = -1;
+    bool stop = false;
+    std::mutex m;
+    std::condition_variable cv_ready, cv_space;
+    std::vector<std::thread> workers;
+
+    size_t record_bytes() const {
+        return static_cast<size_t>(record_elems) * (kind == 1 ? 4 : 1);
+    }
+
+    void worker_loop() {
+        while (true) {
+            long long pos;
+            {
+                std::unique_lock<std::mutex> lk(m);
+                cv_space.wait(lk, [&] {
+                    return stop || (next_fill < n_epoch && next_fill < next_consume + capacity);
+                });
+                if (stop) return;
+                pos = next_fill++;
+            }
+            long long slot = pos % capacity;
+            const std::string& p = paths[static_cast<size_t>(order[pos])];
+            bool ok = (kind == 0)
+                ? load_npy_u8_raw(p.c_str(), record_elems, slots[slot].data())
+                : decode_wav(p.c_str(), static_cast<int>(record_elems), expected_rate,
+                             reinterpret_cast<float*>(slots[slot].data()));
+            {
+                std::lock_guard<std::mutex> lk(m);
+                if (!ok) {
+                    std::memset(slots[slot].data(), 0, record_bytes());
+                    if (first_error < 0) first_error = order[pos];
+                }
+                state[slot] = ok ? 1 : 2;
+            }
+            cv_ready.notify_all();
+        }
+    }
+};
+
 // ---------------------------------------------------------------- thread pool
 
 template <typename Fn>
@@ -231,6 +321,86 @@ long long mlt_load_npy_u8_batch(const char** paths, long long n, long long expec
     return res.first_error.load() + 1;
 }
 
-int mlt_io_version() { return 1; }
+// Create a prefetcher over n files. kind: 0 = raw uint8 .npy records of
+// record_elems bytes; 1 = PCM WAV decoded to record_elems float32 samples
+// (expected_rate enforced when > 0). Returns an opaque handle.
+void* mlt_prefetch_create(const char** paths, long long n, int kind,
+                          long long record_elems, int expected_rate,
+                          long long capacity, int n_threads) {
+    if (n <= 0 || record_elems <= 0 || capacity <= 0 || n_threads <= 0) return nullptr;
+    auto* pf = new Prefetcher();
+    pf->paths.reserve(static_cast<size_t>(n));
+    for (long long i = 0; i < n; ++i) pf->paths.emplace_back(paths[i]);
+    pf->kind = kind;
+    pf->record_elems = record_elems;
+    pf->expected_rate = expected_rate;
+    pf->capacity = capacity;
+    pf->slots.assign(static_cast<size_t>(capacity),
+                     std::vector<uint8_t>(pf->record_bytes()));
+    pf->state.assign(static_cast<size_t>(capacity), 0);
+    int k = n_threads;
+    pf->workers.reserve(static_cast<size_t>(k));
+    for (int t = 0; t < k; ++t) pf->workers.emplace_back([pf] { pf->worker_loop(); });
+    return pf;
+}
+
+// Begin an epoch: read files in paths[order[0]], paths[order[1]], ... .
+// Resets any in-flight epoch (must not be called concurrently with
+// mlt_prefetch_next).
+void mlt_prefetch_start(void* handle, const long long* order, long long n_epoch) {
+    auto* pf = static_cast<Prefetcher*>(handle);
+    {
+        std::lock_guard<std::mutex> lk(pf->m);
+        pf->order.assign(order, order + n_epoch);
+        pf->n_epoch = n_epoch;
+        pf->next_fill = 0;
+        pf->next_consume = 0;
+        pf->first_error = -1;
+        std::fill(pf->state.begin(), pf->state.end(), 0);
+    }
+    pf->cv_space.notify_all();
+}
+
+// Copy up to k in-order records into out (contiguous, record_bytes each).
+// Blocks until they are ready; returns the number delivered (< k only at
+// epoch end, 0 when the epoch is drained).
+long long mlt_prefetch_next(void* handle, void* out, long long k) {
+    auto* pf = static_cast<Prefetcher*>(handle);
+    uint8_t* dst = static_cast<uint8_t*>(out);
+    long long delivered = 0;
+    for (; delivered < k; ++delivered) {
+        std::unique_lock<std::mutex> lk(pf->m);
+        if (pf->next_consume >= pf->n_epoch) break;
+        long long slot = pf->next_consume % pf->capacity;
+        pf->cv_ready.wait(lk, [&] { return pf->state[slot] != 0; });
+        std::memcpy(dst + delivered * pf->record_bytes(), pf->slots[slot].data(),
+                    pf->record_bytes());
+        pf->state[slot] = 0;
+        pf->next_consume++;
+        lk.unlock();
+        pf->cv_space.notify_all();
+    }
+    return delivered;
+}
+
+// Index (into paths) of the first failed read this epoch, or -1.
+long long mlt_prefetch_first_error(void* handle) {
+    auto* pf = static_cast<Prefetcher*>(handle);
+    std::lock_guard<std::mutex> lk(pf->m);
+    return pf->first_error;
+}
+
+void mlt_prefetch_destroy(void* handle) {
+    auto* pf = static_cast<Prefetcher*>(handle);
+    {
+        std::lock_guard<std::mutex> lk(pf->m);
+        pf->stop = true;
+    }
+    pf->cv_space.notify_all();
+    for (auto& t : pf->workers) t.join();
+    delete pf;
+}
+
+int mlt_io_version() { return 2; }
 
 }  // extern "C"

@@ -135,3 +135,31 @@ def test_audio_pipeline_streaming_e2e(glips_root, tmp_path):
     assert len(result["history"]) == 2
     assert np.isfinite(result["history"][-1]["train_loss"])
     assert os.path.exists(tmp_path / "audio_stream" / "metrics" / "resnet_training_log.csv")
+
+
+def test_audio_pipeline_native_backend_e2e(glips_root, tmp_path):
+    """dataset.loader_backend: native — the C++ prefetcher feeds the same
+    streaming path (WAV decode on the native thread pool, log-mel on
+    device)."""
+    pytest.importorskip("ctypes")
+    from multimodal_lipread_tpu.data.native_io import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    from multimodal_lipread_tpu.pipelines.audio import main as audio_main
+
+    cfg = Config.from_dict(
+        {
+            "dataset": {"root_dir": glips_root, "num_classes": 4,
+                        "input_size": 117, "streaming": True,
+                        "loader_backend": "native", "num_workers": 2},
+            "model": {"name": "resnet"},
+            "training": {"batch_size": 16, "epochs": 2, "learning_rate": 1e-3,
+                         "weight_decay": 1e-4, "seed": 0},
+            "output": {"base_dir": str(tmp_path / "audio_native")},
+        }
+    )
+    result = audio_main(cfg)
+    assert "final_test_acc" in result
+    assert len(result["history"]) == 2
+    assert np.isfinite(result["history"][-1]["train_loss"])
