@@ -122,6 +122,30 @@ class EpochMetrics:
     acc: float  # percent, like the reference logs
 
 
+def _enable_compile_cache() -> None:
+    """Point XLA's persistent compilation cache at a user-level directory.
+
+    Train-step compiles of the video models cost minutes; repeat runs with
+    unchanged shapes should pay them once. Respects an explicit user setting,
+    and ``MLT_COMPILE_CACHE`` overrides the location (empty string disables).
+    """
+    import jax
+
+    if jax.config.jax_compilation_cache_dir is not None:
+        return  # user already configured one
+    path = os.environ.get(
+        "MLT_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "multimodal_lipread_tpu", "xla"),
+    )
+    if not path:
+        return
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass  # older jax without the knob: compile-cache is an optimization only
+
+
 class Trainer:
     """Data-parallel trainer over a 1-D device mesh."""
 
@@ -132,6 +156,7 @@ class Trainer:
         mesh: Optional[Any] = None,
         apply_train_kwargs: Optional[Dict[str, Any]] = None,
     ):
+        _enable_compile_cache()
         self.model = model
         self.config = config
         self.mesh = mesh if mesh is not None else get_mesh()
