@@ -45,27 +45,61 @@ def load_checkpoint(path: str, template: Dict[str, Any]) -> Dict[str, Any]:
     return serialization.from_bytes(_to_host(template), data)
 
 
-def save_checkpoint_orbax(directory: str, tree: Dict[str, Any]) -> None:
+_async_ckptr = None
+
+
+def _get_async_checkpointer():
+    """Process-wide Orbax checkpointer reused across saves (its save() is
+    async: arrays are staged synchronously, files written in background)."""
+    global _async_ckptr
+    if _async_ckptr is None:
+        import orbax.checkpoint as ocp
+
+        _async_ckptr = ocp.StandardCheckpointer()
+    return _async_ckptr
+
+
+def wait_for_async_saves() -> None:
+    """Block until every in-flight async Orbax save has committed to disk.
+
+    Call before restoring a checkpoint that may still be writing, and before
+    process exit (an abandoned background write leaves a corrupt directory).
+    """
+    if _async_ckptr is not None:
+        _async_ckptr.wait_until_finished()
+
+
+def save_checkpoint_orbax(directory: str, tree: Dict[str, Any], async_save: bool = False) -> None:
     """Orbax backend: save the checkpoint pytree to a directory.
 
-    Orbax shards large arrays across files and writes asynchronously-safe
-    metadata — the right backend once checkpoints outgrow a single msgpack
-    blob (multi-host, very large models). Same best-val policy either way.
+    Orbax shards large arrays across files — the right backend once
+    checkpoints outgrow a single msgpack blob (multi-host, very large
+    models). With ``async_save=True`` the call returns once the arrays are
+    staged to host and the file write proceeds in background, overlapping
+    the next training epoch; pair with :func:`wait_for_async_saves` before
+    restore/exit. Same best-val policy either way.
     """
     import orbax.checkpoint as ocp
 
     path = os.path.abspath(directory)
+    # a previous async save to this path may still be in flight — wait
+    # BEFORE the existence check (it commits the directory via rename)
+    wait_for_async_saves()
     if os.path.exists(path):
         import shutil
 
         shutil.rmtree(path)
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path, _to_host(tree))
+    if async_save:
+        _get_async_checkpointer().save(path, _to_host(tree))
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path, _to_host(tree))
 
 
 def load_checkpoint_orbax(directory: str, template: Dict[str, Any]) -> Dict[str, Any]:
     """Orbax backend: restore a checkpoint pytree saved by save_checkpoint_orbax."""
     import orbax.checkpoint as ocp
 
+    wait_for_async_saves()
     with ocp.StandardCheckpointer() as ckptr:
         return ckptr.restore(os.path.abspath(directory), _to_host(template))

@@ -98,7 +98,10 @@ class TrainerConfig:
     profile_dir: Optional[str] = None  # write a jax.profiler trace of epoch 1
     mixup_alpha: float = 0.0  # >0 enables batch mixup (full batches only)
     remat: bool = False  # jax.checkpoint the forward: trade FLOPs for HBM
-    checkpoint_backend: str = "msgpack"  # 'msgpack' (single file) or 'orbax'
+    # 'msgpack' (single file), 'orbax' (sharded dir), or 'orbax_async'
+    # (orbax with background writes overlapping the next epoch; fit() waits
+    # for all in-flight saves before returning)
+    checkpoint_backend: str = "msgpack"
     # keep ArrayDatasets resident on device (replicated) and gather each
     # batch ON DEVICE by index — the per-step host→device traffic drops from
     # the full batch (e.g. 11 MB of lips at batch 64) to a few KB of indices.
@@ -589,15 +592,20 @@ class Trainer:
         )
 
     def _save_ckpt(self, path: str, tree: Dict[str, Any]) -> None:
-        if self.config.checkpoint_backend == "orbax":
+        if self.config.checkpoint_backend in ("orbax", "orbax_async"):
             from multimodal_lipread_tpu.train.checkpoint import save_checkpoint_orbax
 
-            save_checkpoint_orbax(path, tree)
+            # async: arrays stage to host now, files write in background —
+            # the next epoch overlaps the checkpoint I/O; fit() waits for
+            # all in-flight saves before returning
+            save_checkpoint_orbax(
+                path, tree, async_save=self.config.checkpoint_backend == "orbax_async"
+            )
         else:
             save_checkpoint(path, tree)
 
     def _load_ckpt(self, path: str, template: Dict[str, Any]) -> Dict[str, Any]:
-        if self.config.checkpoint_backend == "orbax":
+        if self.config.checkpoint_backend in ("orbax", "orbax_async"):
             from multimodal_lipread_tpu.train.checkpoint import load_checkpoint_orbax
 
             return load_checkpoint_orbax(path, template)
@@ -661,6 +669,10 @@ class Trainer:
             return self._fit_loop(train_ds, val_ds, test_ds, resume, progress)
         finally:
             restore_signals()
+            if self.config.checkpoint_backend == "orbax_async":
+                from multimodal_lipread_tpu.train.checkpoint import wait_for_async_saves
+
+                wait_for_async_saves()  # returned runs are durable on disk
 
     def _fit_loop(
         self,

@@ -414,3 +414,32 @@ def test_preemption_real_sigterm(tmp_path):
     assert os.path.exists(tmp_path / "ckpt" / "sig_checkpoint.msgpack")
     # handler was restored after fit
     assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+
+def test_orbax_async_checkpoint_backend(tmp_path):
+    """orbax_async: saves overlap epochs; fit() waits before returning, so
+    the best checkpoint is durable and the final test reloads it correctly;
+    the same directory restores into a fresh trainer."""
+    ds = _tiny_dataset(32)
+
+    def make(name):
+        return Trainer(
+            _mlp_module(),
+            TrainerConfig(
+                model_name=name, num_classes=4, batch_size=16, epochs=3,
+                learning_rate=1e-2, checkpoint_backend="orbax_async",
+                rolling_checkpoint=True, test_every_epoch=False,
+                metrics_dir=str(tmp_path / "m"), checkpoints_dir=str(tmp_path / "c"),
+            ),
+        )
+
+    trainer = make("tinyasync")
+    result = trainer.fit(ds, ds, ds, progress=None)
+    assert "final_test_acc" in result
+    assert os.path.isdir(tmp_path / "c" / "tinyasync_best.orbax")
+    assert os.path.isdir(tmp_path / "c" / "tinyasync_checkpoint.orbax")
+    # a fresh trainer resumes from the (async-written) rolling checkpoint
+    resumed = make("tinyasync")
+    r2 = resumed.fit(ds, ds, ds, resume=True, progress=None)
+    assert r2["history"] == []  # already at the final epoch; nothing replays
+    assert "final_test_acc" in r2
