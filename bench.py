@@ -184,7 +184,9 @@ def bench_video(name: str, peak_tflops: float) -> dict:
     lips = np.random.default_rng(0).integers(0, 256, size=(batch, 29, 44, 44, 3)).astype(np.uint8)
     labels = np.random.default_rng(1).integers(0, 4, size=batch).astype(np.int32)
     clips, flops, dt = _bench_train_step(model, (lips,), labels, VIDEO_STEPS)
-    mfu = (flops * VIDEO_STEPS / dt) / (peak_tflops * 1e12) if np.isfinite(flops) else -1.0
+    # cost-analysis flops cover the GLOBAL batch; peak was measured on one
+    # chip — normalize so MFU stays per-chip on multi-chip meshes
+    mfu = (flops * VIDEO_STEPS / dt) / (peak_tflops * 1e12 * n_chips) if np.isfinite(flops) else -1.0
     return {
         "metric": f"video {name} train clips/sec/chip (bf16, uint8 H2D, device normalize)",
         "value": round(clips, 2), "unit": "clips/s/chip",
@@ -207,7 +209,7 @@ def bench_triple(peak_tflops: float) -> dict:
     lips = rng.integers(0, 256, size=(batch, 29, 44, 44, 3)).astype(np.uint8)
     labels = rng.integers(0, 4, size=batch).astype(np.int32)
     clips, flops, dt = _bench_train_step(model, (mels, cues, lips), labels, VIDEO_STEPS)
-    mfu = (flops * VIDEO_STEPS / dt) / (peak_tflops * 1e12) if np.isfinite(flops) else -1.0
+    mfu = (flops * VIDEO_STEPS / dt) / (peak_tflops * 1e12 * n_chips) if np.isfinite(flops) else -1.0
     return {
         "metric": "triple late_fusion_mobile train clips/sec/chip (bf16)",
         "value": round(clips, 2), "unit": "clips/s/chip",
@@ -302,15 +304,18 @@ def bench_serving() -> list:
         ("audio vgg_lstm (wave in, incl. log-mel)",
          WaveToLogMel(get_audio_model("vgg_lstm", 4, version=16, dtype=jnp.bfloat16)),
          (jnp.asarray(rng.standard_normal((BATCH, 20000)).astype(np.float32) * 1000.0),)),
-        ("video resnet_lstm (uint8 lips in)",
+        ("video resnet_lstm (uint8 lips in, device normalize)",
          get_video_model("resnet_lstm", 4, dtype=jnp.bfloat16),
-         (jnp.asarray(rng.integers(0, 256, (VIDEO_BATCH, 29, 44, 44, 3)).astype(np.uint8)
-                      .astype(np.float32) / 255.0),)),
+         (jnp.asarray(rng.integers(0, 256, (VIDEO_BATCH, 29, 44, 44, 3)).astype(np.uint8)),)),
     ]
     for name, model, inputs in cases:
         key = jax.random.PRNGKey(0)
+        init_inputs = tuple(
+            x[:2].astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x[:2]
+            for x in inputs
+        )
         variables = model.init({"params": key, "dropout": key},
-                               *(x[:2] for x in inputs), train=False)
+                               *init_inputs, train=False)
         pred = Predictor(model=model, variables=variables,
                          batch_size=inputs[0].shape[0])
         fwd = pred._forward()
@@ -355,7 +360,9 @@ def main(full: bool = True):
         return
     peak = _measured_peak_tflops("bf16")
     if np.isfinite(audio_flops):
-        audio_mfu = (audio_flops * STEPS / audio_dt) / (peak * 1e12)
+        import jax as _jax
+
+        audio_mfu = (audio_flops * STEPS / audio_dt) / (peak * 1e12 * len(_jax.devices()))
         print(json.dumps({
             "metric": "audio vgg_lstm MFU (bf16, vs measured peak)",
             "value": round(audio_mfu, 4), "unit": "fraction",

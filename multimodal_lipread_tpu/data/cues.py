@@ -157,9 +157,15 @@ _TOKEN_MODEL_NAMES = {
 def _local_hf_weights_available(name: str) -> bool:
     """True iff the HF hub cache already holds `name` — a pure filesystem
     probe, so callers can skip the ~40 s torch/transformers import when a
-    local_files_only load would fail anyway (zero-egress environments)."""
-    cache = os.environ.get("HUGGINGFACE_HUB_CACHE") or os.path.join(
-        os.environ.get("HF_HOME", os.path.expanduser("~/.cache/huggingface")), "hub"
+    local_files_only load would fail anyway (zero-egress environments).
+    Resolution order mirrors huggingface_hub: HF_HUB_CACHE >
+    HUGGINGFACE_HUB_CACHE > HF_HOME/hub > ~/.cache/huggingface/hub."""
+    cache = (
+        os.environ.get("HF_HUB_CACHE")
+        or os.environ.get("HUGGINGFACE_HUB_CACHE")
+        or os.path.join(
+            os.environ.get("HF_HOME", os.path.expanduser("~/.cache/huggingface")), "hub"
+        )
     )
     return os.path.isdir(os.path.join(cache, "models--" + name.replace("/", "--")))
 

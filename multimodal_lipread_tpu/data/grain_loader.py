@@ -117,6 +117,13 @@ class StreamingDataset:
         n, c, i = len(self.source), self.shard_count, self.shard_index
         return (n - i + c - 1) // c
 
+    def global_batches(self, per_host: int) -> int:
+        """Per-epoch step count EVERY host must execute (largest shard's
+        batch count). Hosts whose shard is smaller pad with weight-0
+        batches so all processes run the same number of collective steps."""
+        largest_shard = -(-len(self.source) // self.shard_count)
+        return max(1, -(-largest_shard // max(1, per_host)))
+
     def example_inputs(self, n: int) -> tuple:
         """First record tiled n times — shape/dtype template for init."""
         rec = self.source[0]
@@ -213,6 +220,14 @@ class NativeStreamingDataset:
         from multimodal_lipread_tpu.data.native_io import DEFAULT_THREADS, NativePrefetcher
 
         self.entries = list(entries)
+        if kind == "wav":
+            bad = [e.path for e in self.entries if not e.path.lower().endswith(".wav")]
+            if bad:
+                raise ValueError(
+                    f"loader_backend 'native' decodes PCM16 WAV only; found "
+                    f"{len(bad)} non-WAV clips (e.g. {bad[0]}) — transcode "
+                    "them or use the grain backend (ffmpeg decode path)"
+                )
         self.labels = np.asarray(
             [class_to_idx[e.word] for e in self.entries], np.int32
         )
@@ -228,6 +243,11 @@ class NativeStreamingDataset:
     def __len__(self) -> int:
         n, c, i = len(self.entries), self.shard_count, self.shard_index
         return (n - i + c - 1) // c
+
+    def global_batches(self, per_host: int) -> int:
+        """Same contract as StreamingDataset.global_batches."""
+        largest_shard = -(-len(self.entries) // self.shard_count)
+        return max(1, -(-largest_shard // max(1, per_host)))
 
     def example_inputs(self, n: int) -> tuple:
         rec = np.zeros(self._prefetcher.record_shape, self._prefetcher.dtype)
@@ -249,6 +269,14 @@ class NativeStreamingDataset:
             batch = self._prefetcher.next_batch(batch_size)
             if batch is None:
                 break
+            err = self._prefetcher.first_error
+            if err >= 0:
+                # zero-filled records would train silently on garbage —
+                # surface the bad file like the reference's loaders do
+                raise RuntimeError(
+                    f"native prefetcher failed to read {self.entries[err].path} "
+                    "(corrupt file, wrong shape, or unsupported format)"
+                )
             labels = self.labels[order[consumed:consumed + len(batch)]]
             consumed += len(batch)
             yield (batch,), labels

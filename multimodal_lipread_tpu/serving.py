@@ -58,7 +58,11 @@ class Predictor:
     ) -> "Predictor":
         """Restore a Trainer checkpoint (``{epoch, state, val_acc, ...}``)."""
         rng = jax.random.PRNGKey(0)
-        dummy = tuple(jnp.asarray(a[:1]) for a in example_inputs)
+        dummy = tuple(
+            jnp.asarray(a[:1]).astype(jnp.float32) / 255.0
+            if np.asarray(a).dtype == np.uint8 else jnp.asarray(a[:1])
+            for a in example_inputs
+        )
         init_vars = model.init({"params": rng, "dropout": rng}, *dummy, train=False)
         template = {
             "epoch": 0,
@@ -82,6 +86,13 @@ class Predictor:
 
             @jax.jit
             def fwd(variables, *inputs):
+                # uint8 inputs (lip tensors) cross host→device at 1/4 the
+                # bytes and normalize to [0,1] in-graph — the same contract
+                # as the Trainer's train step
+                inputs = tuple(
+                    x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
+                    for x in inputs
+                )
                 return model.apply(variables, *inputs, train=False)
 
             self._compiled = fwd

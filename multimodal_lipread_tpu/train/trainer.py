@@ -396,16 +396,25 @@ class Trainer:
     # ------------------------------------------------------------ batching
 
     def _device_dataset(self, ds: ArrayDataset):
-        """Place a dataset on device once, replicated over the mesh."""
+        """Place a dataset on device once, replicated over the mesh.
+
+        The cache holds a strong reference to each dataset and verifies it
+        by identity — ``id()`` alone can be recycled by the allocator after
+        a dataset is garbage-collected, which would silently serve a stale
+        device copy. Bounded to the run's train/val/test trio: inserting a
+        4th dataset evicts the oldest (frees its HBM replica).
+        """
         if not hasattr(self, "_device_data_cache"):
             self._device_data_cache: Dict[int, Any] = {}
-        cached = self._device_data_cache.get(id(ds))
-        if cached is None:
+        entry = self._device_data_cache.get(id(ds))
+        if entry is None or entry[0] is not ds:
             data = tuple(replicate(self.mesh, jnp.asarray(a)) for a in ds.inputs)
             labels = replicate(self.mesh, jnp.asarray(ds.labels.astype(np.int32)))
-            cached = (data, labels)
-            self._device_data_cache[id(ds)] = cached
-        return cached
+            entry = (ds, (data, labels))
+            self._device_data_cache[id(ds)] = entry
+            while len(self._device_data_cache) > 3:
+                self._device_data_cache.pop(next(iter(self._device_data_cache)))
+        return entry[1]
 
     def _index_batches(self, ds: ArrayDataset, shuffle: bool, rng: np.random.Generator):
         """Yield (idx, weights) device batches for the device-resident path.
@@ -463,6 +472,12 @@ class Trainer:
         process-local data.
         """
         n_proc = jax.process_count()
+        if self.batch_size % n_proc:
+            raise ValueError(
+                f"batch_size {self.batch_size} must be divisible by the "
+                f"process count {n_proc} for streaming (each host loads "
+                "batch_size/processes records per step)"
+            )
         per_host = self.batch_size // n_proc
         if n_proc > 1:
             def put(a):
@@ -471,6 +486,8 @@ class Trainer:
             def put(a):
                 return jax.device_put(a, self._batch_sharding)
 
+        emitted = 0
+        last_inputs = last_labels = None
         for inputs, labels in ds.epoch_batches(epoch, shuffle, per_host):
             k = len(labels)
             weights = np.zeros((per_host,), np.float32)
@@ -479,10 +496,33 @@ class Trainer:
                 fill = np.resize(np.arange(k), per_host - k)
                 inputs = tuple(np.concatenate([a, a[fill]], axis=0) for a in inputs)
                 labels = np.concatenate([labels, labels[fill]], axis=0)
+            emitted += 1
+            last_inputs, last_labels = inputs, labels
             yield (
                 tuple(put(a) for a in inputs),
                 put(labels.astype(np.int32)),
                 put(weights),
+            )
+        # Multi-host alignment: ceil-split shards can differ by one record,
+        # which near a batch boundary gives hosts DIFFERENT batch counts —
+        # and each batch is a cross-host collective step, so mismatched
+        # counts desync the SPMD program. Hosts with a short shard emit
+        # all-weight-0 batches (ignored by loss/metrics) up to the largest
+        # shard's count.
+        target = (
+            ds.global_batches(per_host) if hasattr(ds, "global_batches") else emitted
+        )
+        while emitted < target:
+            if last_inputs is None:
+                last_inputs = tuple(
+                    np.asarray(a) for a in ds.example_inputs(per_host)
+                )
+                last_labels = np.zeros((per_host,), np.int32)
+            emitted += 1
+            yield (
+                tuple(put(a) for a in last_inputs),
+                put(last_labels.astype(np.int32)),
+                put(np.zeros((per_host,), np.float32)),
             )
 
     # ------------------------------------------------------------ epochs
@@ -688,7 +728,16 @@ class Trainer:
             # torch get_linear_schedule_with_warmup over the whole run;
             # stepped per batch AFTER the optimizer step (factor(0)=0 ⇒ the
             # first step trains at lr 0, like torch LambdaLR)
-            steps_per_epoch = max(1, -(-len(train_ds) // self.batch_size))
+            # len() of a streaming dataset is PER-SHARD, and its per-step
+            # batch is batch_size/process_count — using the global batch
+            # there would undercount total steps by process_count× and decay
+            # the LR to 0 early
+            denom = (
+                self.batch_size
+                if isinstance(train_ds, ArrayDataset)
+                else max(1, self.batch_size // jax.process_count())
+            )
+            steps_per_epoch = max(1, -(-len(train_ds) // denom))
             total = steps_per_epoch * cfg.epochs
             warmup = int(cfg.warmup_proportion * total)
             base_lr = cfg.learning_rate

@@ -226,6 +226,7 @@ struct Prefetcher {
     long long next_fill = 0;
     long long next_consume = 0;
     long long first_error = -1;
+    long long generation = 0;  // bumped by start(): stale reads are discarded
     bool stop = false;
     std::mutex m;
     std::condition_variable cv_ready, cv_space;
@@ -236,8 +237,14 @@ struct Prefetcher {
     }
 
     void worker_loop() {
+        // decode into a thread-local scratch, publish into the shared slot
+        // under the lock ONLY if the epoch generation is unchanged — a
+        // restart (mlt_prefetch_start on an undrained epoch) invalidates
+        // in-flight reads instead of letting them corrupt the new epoch's
+        // slots or dereference the reassigned order vector
+        std::vector<uint8_t> scratch(record_bytes());
         while (true) {
-            long long pos;
+            long long pos, file_idx, gen;
             {
                 std::unique_lock<std::mutex> lk(m);
                 cv_space.wait(lk, [&] {
@@ -245,18 +252,23 @@ struct Prefetcher {
                 });
                 if (stop) return;
                 pos = next_fill++;
+                file_idx = order[pos];
+                gen = generation;
             }
-            long long slot = pos % capacity;
-            const std::string& p = paths[static_cast<size_t>(order[pos])];
+            const std::string& p = paths[static_cast<size_t>(file_idx)];
             bool ok = (kind == 0)
-                ? load_npy_u8_raw(p.c_str(), record_elems, slots[slot].data())
+                ? load_npy_u8_raw(p.c_str(), record_elems, scratch.data())
                 : decode_wav(p.c_str(), static_cast<int>(record_elems), expected_rate,
-                             reinterpret_cast<float*>(slots[slot].data()));
+                             reinterpret_cast<float*>(scratch.data()));
             {
                 std::lock_guard<std::mutex> lk(m);
-                if (!ok) {
+                if (gen != generation) continue;  // epoch was restarted
+                long long slot = pos % capacity;
+                if (ok) {
+                    std::memcpy(slots[slot].data(), scratch.data(), record_bytes());
+                } else {
                     std::memset(slots[slot].data(), 0, record_bytes());
-                    if (first_error < 0) first_error = order[pos];
+                    if (first_error < 0) first_error = file_idx;
                 }
                 state[slot] = ok ? 1 : 2;
             }
@@ -351,6 +363,7 @@ void mlt_prefetch_start(void* handle, const long long* order, long long n_epoch)
     auto* pf = static_cast<Prefetcher*>(handle);
     {
         std::lock_guard<std::mutex> lk(pf->m);
+        pf->generation++;  // invalidate reads still in flight from the old epoch
         pf->order.assign(order, order + n_epoch);
         pf->n_epoch = n_epoch;
         pf->next_fill = 0;

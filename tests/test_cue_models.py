@@ -104,6 +104,7 @@ def test_hf_cache_probe(tmp_path, monkeypatch):
     torch/transformers import)."""
     from multimodal_lipread_tpu.data.cues import _local_hf_weights_available
 
+    monkeypatch.delenv("HF_HUB_CACHE", raising=False)
     monkeypatch.delenv("HUGGINGFACE_HUB_CACHE", raising=False)
     monkeypatch.setenv("HF_HOME", str(tmp_path))
     name = "sentence-transformers/all-mpnet-base-v2"
@@ -113,11 +114,15 @@ def test_hf_cache_probe(tmp_path, monkeypatch):
     # explicit HUGGINGFACE_HUB_CACHE wins over HF_HOME
     monkeypatch.setenv("HUGGINGFACE_HUB_CACHE", str(tmp_path / "elsewhere"))
     assert not _local_hf_weights_available(name)
+    # and HF_HUB_CACHE (huggingface_hub's primary variable) wins over both
+    monkeypatch.setenv("HF_HUB_CACHE", str(tmp_path / "hub"))
+    assert _local_hf_weights_available(name)
 
 
 def test_get_token_embedder_falls_back_without_cache(tmp_path, monkeypatch):
     from multimodal_lipread_tpu.data.cues import get_token_embedder, HashingEmbedder
 
+    monkeypatch.delenv("HF_HUB_CACHE", raising=False)
     monkeypatch.delenv("HUGGINGFACE_HUB_CACHE", raising=False)
     monkeypatch.setenv("HF_HOME", str(tmp_path))  # empty: no weights cached
     e = get_token_embedder("mpnet", allow_fallback=True)

@@ -4,6 +4,9 @@ import pytest
 
 import os
 
+import jax
+import jax.numpy as jnp
+
 import numpy as np
 
 from multimodal_lipread_tpu.config import Config
@@ -132,3 +135,27 @@ def test_serving_rebuilds_no_batchnorm_models(glips_root, tmp_path):
     clips = [e.path for e in index.by_split("test")][:3]
     results = predict_audio_clips(cfg, ckpt, clips)
     assert len(results) == 3
+
+
+def test_predictor_uint8_inputs_normalized_in_graph():
+    """Predictor accepts uint8 lip tensors directly (1/4 H2D bytes) and
+    normalizes to [0,1] inside the compiled forward — matching the
+    Trainer's device-normalize contract."""
+    from flax import linen as nn
+
+    from multimodal_lipread_tpu.serving import Predictor
+
+    class Probe(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            # logits = per-example mean: reveals whether inputs were scaled
+            m = x.reshape(x.shape[0], -1).mean(axis=1, keepdims=True)
+            return jnp.concatenate([m, -m], axis=1)
+
+    model = Probe()
+    u8 = (np.ones((4, 8, 8), np.uint8) * 255)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 8, 8)), train=False)
+    pred = Predictor(model=model, variables=variables, batch_size=4)
+    logits = pred.predict_logits(u8)
+    # 255-valued uint8 must arrive as 1.0 after in-graph normalization
+    np.testing.assert_allclose(logits[:, 0], 1.0, atol=1e-6)

@@ -163,3 +163,31 @@ def test_audio_pipeline_native_backend_e2e(glips_root, tmp_path):
     assert "final_test_acc" in result
     assert len(result["history"]) == 2
     assert np.isfinite(result["history"][-1]["train_loss"])
+
+
+def test_stream_batches_align_across_shards(tmp_path):
+    """Ceil-split shards can differ by one record; every host must still
+    execute the SAME number of (collective) steps per epoch — short shards
+    pad with all-weight-0 batches."""
+    src = _DictSource(33, seed=0)  # 2 shards: 17 and 16 records
+    counts = []
+    for shard in range(2):
+        ds = StreamingDataset(
+            src, input_keys=("x",), seed=0, shard_index=shard, shard_count=2
+        )
+        trainer = Trainer(
+            _tiny_model(),
+            TrainerConfig(
+                model_name=f"align{shard}", num_classes=4, batch_size=8,
+                epochs=1, test_every_epoch=False,
+                metrics_dir=str(tmp_path / "m"), checkpoints_dir=str(tmp_path / "c"),
+            ),
+        )
+        trainer.ensure_initialized(ds)
+        batches = list(trainer._stream_batches(ds, epoch=0, shuffle=True))
+        counts.append(len(batches))
+        # padding batches are all-weight-0
+        if shard == 1:
+            assert float(np.asarray(batches[-1][2]).sum()) == 0.0
+    # shard 0: ceil(17/8)=3 batches; shard 1: ceil(16/8)=2 real + 1 pad
+    assert counts == [3, 3]
