@@ -236,7 +236,14 @@ def get_audio_model(
     use_batchnorm: bool = True,
     dtype: Any = jnp.float32,
 ) -> nn.Module:
-    """Name → model registry (reference: audio/train.py:118-134)."""
+    """Name → model registry (reference: audio/train.py:118-134).
+
+    ``version`` defaults to 16 here because that is what the reference's
+    SHIPPED config trains (audio/configs/audio_config.yaml:12 ``version:
+    16`` — the value behind BASELINE.md's vgg_lstm 90.00%); the bare class
+    constructors keep the reference ctor default of 11
+    (vgg_lstm_model.py:7). Pass ``version`` explicitly to be unambiguous.
+    """
     if name == "resnet":
         return AudioResNet(num_classes, use_batchnorm=use_batchnorm, dtype=dtype)
     if name == "resnet_lstm":

@@ -7,11 +7,13 @@ middle_fusion_resnet, late_fusion_resnet, test_model.
 Inputs: ``mel`` (B, 80, input_size), ``cue`` (B, cue_dim),
 ``lip`` (B, T, 44, 44, 3) NTHWC.
 
-Freezing semantics: the reference's early variants freeze the audio ResNet
-(with BatchNorm forced to eval) and the video MobileNet backbone
-(audio_cues_video/models/early_fusion_mobile.py:136-144). Here ``frozen=True``
-runs the encoder with running BN stats (train=False) and stops gradients —
-the same observable behavior without the checkpoint/chunk machinery.
+Freezing semantics: the reference's early variants set requires_grad=False
+and BN.eval() at construction (early_fusion_mobile.py:136-144) — but the
+train loop's per-epoch ``model.train()`` (train.py:53) flips BN back to
+batch-stats mode, so the EFFECTIVE reference behavior is train-mode BN with
+no weight gradients. ``frozen=True`` reproduces exactly that: BN follows the
+train flag, outputs are stop_gradient'd, and the pipeline excludes the
+frozen param prefixes from optimizer updates.
 """
 
 from __future__ import annotations
@@ -54,15 +56,28 @@ class TripleAudioEncoder(nn.Module):
 
     @nn.compact
     def __call__(self, mel, train: bool = False):
-        enc_train = train and not self.frozen
-        feats = ResNet(18, dtype=self.dtype, name="resnet")(mel[..., None], enc_train)
+        # The reference freezes params + BN.eval() at construction, but its
+        # train loop calls model.train() every epoch (train.py:53), which
+        # puts BN back in batch-stats mode — so the effective reference
+        # behavior is train-mode BN with no weight gradients. Reproduce
+        # that: BN follows `train`; gradients stop below; frozen params are
+        # additionally excluded from the optimizer by the pipeline.
+        feats = ResNet(18, dtype=self.dtype, name="resnet")(mel[..., None], train)
         return jax.lax.stop_gradient(feats) if self.frozen else feats
 
 
 class TripleCueEncoder(nn.Module):
-    """Linear(768→256)→BN→ReLU→Drop(0.3)→Linear(256→256)→ReLU
-    (reference: early_fusion_mobile.py:158-172)."""
+    """Per-variant cue MLP — the reference ships TWO CueEncoder topologies:
 
+    - style='early': Linear(768→256)→BN→ReLU→Drop(0.3)→Linear(256→256)→ReLU
+      (early_fusion_mobile.py:158-172, early_fusion_resnet.py:142-152,
+      test_model.py:103-113)
+    - style='plain': Linear(768→256)→BN→ReLU→Linear(256→256) — no dropout,
+      no final ReLU (middle_fusion_mobile.py:70-78, late_fusion_mobile.py:
+      70-78, middle_fusion_resnet.py:145-154, late_fusion_resnet.py:63-72)
+    """
+
+    style: str = "early"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -71,9 +86,10 @@ class TripleCueEncoder(nn.Module):
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="bn")(x)
         x = nn.relu(x)
-        x = nn.Dropout(0.3)(x, deterministic=not train)
+        if self.style == "early":
+            x = nn.Dropout(0.3)(x, deterministic=not train)
         x = nn.Dense(256, dtype=self.dtype, name="fc2")(x)
-        return nn.relu(x)
+        return nn.relu(x) if self.style == "early" else x
 
 
 class TripleVideoEncoder(nn.Module):
@@ -95,15 +111,17 @@ class TripleVideoEncoder(nn.Module):
     def __call__(self, video, train: bool = False):
         B, T = video.shape[0], video.shape[1]
         flat = video.reshape((B * T,) + video.shape[2:])
-        enc_train = train and not self.frozen
+        # BN runs in train mode even when frozen — see TripleAudioEncoder
         if self.backbone == "mobilenet_v2":
-            feats = MobileNetV2(dtype=self.dtype, name="cnn")(flat, enc_train)
+            feats = MobileNetV2(dtype=self.dtype, name="cnn")(flat, train)
         else:
-            feats = ResNet(18, dtype=self.dtype, name="cnn")(flat, enc_train)
+            feats = ResNet(18, dtype=self.dtype, name="cnn")(flat, train)
         if self.frozen:
             feats = jax.lax.stop_gradient(feats)
         seq = feats.reshape(B, T, -1)
-        out = BiLSTM(self.feature_dim // 2, self.lstm_layers, dtype=self.dtype, name="lstm")(seq)
+        # reference: nn.LSTM(..., dropout=0.3) on the 2-layer variants
+        out = BiLSTM(self.feature_dim // 2, self.lstm_layers, dropout=0.3,
+                     dtype=self.dtype, name="lstm")(seq, train=train)
         return out[:, -1, :]
 
 
@@ -146,7 +164,7 @@ class MultimodalAttentionMiddle(nn.Module):
     @nn.compact
     def __call__(self, mel, cue, lip, train: bool = False):
         a = TripleAudioEncoder(frozen=self.frozen, dtype=self.dtype, name="audio")(mel, train)
-        c = TripleCueEncoder(dtype=self.dtype, name="cue")(cue, train)
+        c = TripleCueEncoder(style="plain", dtype=self.dtype, name="cue")(cue, train)
         v = TripleVideoEncoder(self.video_backbone, frozen=self.frozen,
                                lstm_layers=self.lstm_layers, dtype=self.dtype,
                                name="video")(lip, train)
@@ -174,7 +192,7 @@ class MultimodalAttentionLate(nn.Module):
     @nn.compact
     def __call__(self, mel, cue, lip, train: bool = False):
         a = TripleAudioEncoder(frozen=self.frozen, dtype=self.dtype, name="audio")(mel, train)
-        c = TripleCueEncoder(dtype=self.dtype, name="cue")(cue, train)
+        c = TripleCueEncoder(style="plain", dtype=self.dtype, name="cue")(cue, train)
         v = TripleVideoEncoder(self.video_backbone, frozen=self.frozen,
                                lstm_layers=self.lstm_layers, dtype=self.dtype,
                                name="video")(lip, train)

@@ -120,7 +120,11 @@ class VideoSeqEncoder(nn.Module):
         else:
             raise ValueError(f"Unknown video backbone: {self.backbone}")
         seq = feats.reshape(B, T, -1)
-        out = BiLSTM(self.lstm_hidden, self.lstm_layers, dtype=self.dtype, name="lstm")(seq)
+        # reference: 2-layer encoders (early_fusion.py:63-70,
+        # ef_cnn_lstm_resnet.py:66-73) use nn.LSTM(..., dropout=0.2);
+        # 1-layer variants are unaffected (torch ignores it)
+        out = BiLSTM(self.lstm_hidden, self.lstm_layers, dropout=0.2,
+                     dtype=self.dtype, name="lstm")(seq, train=train)
         if self.summary == "last_step":
             return out[:, -1, :]
         return bilstm_final_hidden(out, self.lstm_hidden)

@@ -76,8 +76,12 @@ class BertLayer(nn.Module):
     @nn.compact
     def __call__(self, x, mask=None, deterministic: bool = True):
         c = self.config
+        # HF BERT applies attention_probs_dropout_prob (0.1) to the
+        # attention probabilities, not just the projected outputs
         attn = nn.MultiHeadDotProductAttention(
-            num_heads=c.num_heads, dtype=self.dtype, name="attention"
+            num_heads=c.num_heads, dtype=self.dtype,
+            dropout_rate=c.dropout_rate, deterministic=deterministic,
+            name="attention",
         )(x, x, mask=mask)
         attn = nn.Dropout(c.dropout_rate)(attn, deterministic=deterministic)
         x = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype,

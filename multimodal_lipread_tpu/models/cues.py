@@ -266,13 +266,35 @@ CUE_MODEL_SPECS = {
 CUE_MODEL_NAMES = tuple(CUE_MODEL_SPECS)
 
 
-def get_cue_model(name: str, num_classes: int, dtype: Any = jnp.float32) -> nn.Module:
+def get_cue_model(
+    name: str, num_classes: int, dtype: Any = jnp.float32, bert_size: str = "tiny"
+) -> nn.Module:
     if name not in CUE_MODEL_SPECS:
         raise ValueError(f"Unknown cue model: {name}")
     if name in ("bert", "bert_lite"):
-        from multimodal_lipread_tpu.models.bert import BertClassifier, bert_tiny_config
+        from multimodal_lipread_tpu.models.bert import (
+            BertClassifier,
+            bert_base_config,
+            bert_tiny_config,
+        )
 
         bert_dtype = jnp.bfloat16 if name == "bert_lite" else dtype
+        if bert_size == "base":
+            return BertClassifier(bert_base_config(), num_classes, dtype=bert_dtype)
+        # The reference fine-tunes PRETRAINED bert-base-uncased
+        # (cues/models/bert.py:33); this zero-egress default is a tiny
+        # random-init BERT — accuracy will NOT match the reference unless
+        # you pass bert_size='base' (model.bert_size in the cues config)
+        # and graft real weights via utils.torch_import.convert_hf_bert.
+        import warnings
+
+        warnings.warn(
+            "cue model '%s' defaults to a tiny random-init BERT; the "
+            "reference uses fine-tuned bert-base-uncased — set "
+            "model.bert_size: base and graft pretrained weights for parity"
+            % name,
+            stacklevel=2,
+        )
         return BertClassifier(bert_tiny_config(), num_classes, dtype=bert_dtype)
     cls, _kind = CUE_MODEL_SPECS[name]
     return cls(num_classes, dtype=dtype)

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from multimodal_lipread_tpu.nn import BiLSTM
+from multimodal_lipread_tpu.nn import BiLSTM, SingleQueryAttention
 from multimodal_lipread_tpu.models.backbones import MobileNetV2, ResNet
 
 
@@ -53,24 +53,10 @@ class VideoLSTMSeqEncoder(nn.Module):
         if self.freeze_backbone:
             feats = jax.lax.stop_gradient(feats)
         seq = feats.reshape(B, T, -1)
-        return BiLSTM(self.feature_dim // 2, self.lstm_layers, dtype=self.dtype, name="lstm")(seq)
-
-
-class CrossModalAttention(nn.Module):
-    """Single-query scaled dot-product: cue feature queries the video sequence
-    (reference: cues_video/models/early_fusion_mobile.py:131-147)."""
-
-    dim: int
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, q_vec, kv_seq):
-        q = nn.Dense(self.dim, dtype=self.dtype, name="query")(q_vec)  # (B, D)
-        k = nn.Dense(self.dim, dtype=self.dtype, name="key")(kv_seq)  # (B, T, D)
-        v = nn.Dense(self.dim, dtype=self.dtype, name="value")(kv_seq)
-        scores = jnp.einsum("bd,btd->bt", q, k) * (self.dim ** -0.5)
-        w = nn.softmax(scores, axis=-1)
-        return jnp.einsum("bt,btd->bd", w, v)
+        # reference: nn.LSTM(..., dropout=0.3) — effective only for the
+        # 2-layer (resnet/test_model) variants, matching torch semantics
+        return BiLSTM(self.feature_dim // 2, self.lstm_layers, dropout=0.3,
+                      dtype=self.dtype, name="lstm")(seq, train=train)
 
 
 class EarlyAttentionFusion(nn.Module):
@@ -90,7 +76,7 @@ class EarlyAttentionFusion(nn.Module):
                                    name="video_encoder")(video, train)
         c = nn.Dense(256, dtype=self.dtype, name="cue_proj")(cue)
         c = nn.relu(c)
-        attended = CrossModalAttention(256, dtype=self.dtype, name="attn")(c, vseq)
+        attended = SingleQueryAttention(256, dtype=self.dtype, name="attn")(c, vseq)
         x = nn.Dense(256, dtype=self.dtype, name="fc1")(attended)
         x = nn.relu(x)
         x = nn.Dropout(0.3)(x, deterministic=not train)
@@ -116,7 +102,7 @@ class MiddleAttentionFusion(nn.Module):
         c = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="cue_bn")(c)
         c = nn.relu(c)
-        attended = CrossModalAttention(256, dtype=self.dtype, name="attn")(c, vseq)
+        attended = SingleQueryAttention(256, dtype=self.dtype, name="attn")(c, vseq)
         fused = jnp.concatenate([vseq[:, -1, :], attended], axis=-1)
         x = nn.Dense(512, dtype=self.dtype, name="fusion_fc")(fused)
         x = nn.relu(x)
@@ -167,6 +153,9 @@ class MultimodalCueVideoNet(nn.Module):
                          dtype=self.dtype, name="cue_bn")(c)
         c = nn.relu(c)
         c = nn.Dropout(0.3)(c, deterministic=not train)
+        # reference CueEncoder ends with a second Linear(256,256), no
+        # activation (cues_video/models/test_model.py:63-77)
+        c = nn.Dense(256, dtype=self.dtype, name="cue_fc2")(c)
         fused = jnp.concatenate([vseq[:, -1, :], c], axis=-1)
         x = nn.Dense(512, dtype=self.dtype, name="fusion_fc")(fused)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,

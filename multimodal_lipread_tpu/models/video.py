@@ -69,7 +69,10 @@ class _LSTMHead(nn.Module):
 
     @nn.compact
     def __call__(self, seq, train: bool = False):
-        out = BiLSTM(self.feature_dim // 2, self.num_layers, dtype=self.dtype, name="lstm")(seq)
+        # reference passes the same dropout into nn.LSTM(num_layers=2,
+        # dropout=...) — inter-layer, train-time only
+        out = BiLSTM(self.feature_dim // 2, self.num_layers,
+                     dropout=self.dropout_rate, dtype=self.dtype, name="lstm")(seq, train=train)
         x = nn.relu(out[:, -1, :])
         x = nn.Dropout(self.dropout_rate)(x, deterministic=not train)
         return nn.Dense(self.num_classes, dtype=self.dtype, name="fc")(x)
@@ -157,9 +160,12 @@ class ResNet2DAttention(nn.Module):
         backbone = ResNet(self.resnet_version, dtype=self.dtype, name="resnet")
         seq = _td(backbone, x, train)
         seq = nn.Dense(self.attention_dim, dtype=self.dtype, name="proj_in")(seq)
-        attended = MultiHeadSelfAttention(self.num_heads, dtype=self.dtype, name="attention")(
-            seq, deterministic=not train
-        )
+        # reference: nn.MultiheadAttention(..., dropout=dropout) — the 0.3
+        # applies to the attention probabilities too (resnet_attn.py:30)
+        attended = MultiHeadSelfAttention(
+            self.num_heads, dtype=self.dtype, dropout_rate=self.dropout_rate,
+            name="attention",
+        )(seq, deterministic=not train)
         pooled = jnp.mean(attended, axis=1)
         pooled = nn.relu(pooled)
         pooled = nn.Dropout(self.dropout_rate)(pooled, deterministic=not train)

@@ -95,10 +95,12 @@ class SingleQueryAttention(nn.Module):
 
     @nn.compact
     def __call__(self, query_vec: jnp.ndarray, seq: jnp.ndarray) -> jnp.ndarray:
-        q = nn.Dense(self.dim, dtype=self.dtype, name="q")(query_vec)  # (B, D)
-        k = nn.Dense(self.dim, dtype=self.dtype, name="k")(seq)  # (B, T, D)
-        v = nn.Dense(self.dim, dtype=self.dtype, name="v")(seq)
-        scores = jnp.einsum("bd,btd->bt", q, k) / jnp.sqrt(jnp.asarray(self.dim, self.dtype))
+        # param names match the torch module (query/key/value Linears,
+        # early_fusion_mobile.py:136-138) for 1:1 state-dict import
+        q = nn.Dense(self.dim, dtype=self.dtype, name="query")(query_vec)  # (B, D)
+        k = nn.Dense(self.dim, dtype=self.dtype, name="key")(seq)  # (B, T, D)
+        v = nn.Dense(self.dim, dtype=self.dtype, name="value")(seq)
+        scores = jnp.einsum("bd,btd->bt", q, k) * (self.dim ** -0.5)
         w = nn.softmax(scores, axis=-1)
         return jnp.einsum("bt,btd->bd", w, v)
 
@@ -119,8 +121,12 @@ class TransformerEncoderLayer(nn.Module):
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         d_model = x.shape[-1]
         ff = self.dim_feedforward or 2048
+        # torch forwards the layer dropout into nn.MultiheadAttention too
+        # (attention-probability dropout), not just outputs/FFN
         attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.num_heads, dtype=self.dtype, name="self_attn"
+            num_heads=self.num_heads, dtype=self.dtype,
+            dropout_rate=self.dropout_rate, deterministic=deterministic,
+            name="self_attn",
         )(x, x)
         attn = nn.Dropout(self.dropout_rate)(attn, deterministic=deterministic)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn)

@@ -100,15 +100,18 @@ class LSTM(nn.Module):
     """Multi-layer (optionally bidirectional) LSTM; returns the full sequence.
 
     Mirrors torch.nn.LSTM(batch_first=True): output (B, T, H * num_directions).
+    ``dropout`` follows torch semantics: applied to each layer's OUTPUT
+    except the last, train-time only, and ignored for single-layer stacks.
     """
 
     hidden_size: int
     num_layers: int = 1
     bidirectional: bool = False
+    dropout: float = 0.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         B, T, _ = x.shape
         H = self.hidden_size
         out = x.astype(self.dtype)
@@ -137,6 +140,8 @@ class LSTM(nn.Module):
             else:
                 ys = _unidirectional(xg_fwd, fwd_p[1].astype(self.dtype), B, H, self.dtype)
                 out = jnp.swapaxes(ys, 0, 1)
+            if self.dropout > 0.0 and layer < self.num_layers - 1:
+                out = nn.Dropout(self.dropout)(out, deterministic=not train)
         return out
 
 
@@ -177,14 +182,16 @@ class BiLSTM(nn.Module):
 
     hidden_size: int
     num_layers: int = 1
+    dropout: float = 0.0  # inter-layer, torch semantics (see LSTM)
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         return LSTM(
             self.hidden_size,
             num_layers=self.num_layers,
             bidirectional=True,
+            dropout=self.dropout,
             dtype=self.dtype,
             name="lstm",
-        )(x)
+        )(x, train=train)

@@ -119,7 +119,8 @@ def main(config: Config | str) -> Dict[str, Any]:
     class_weights = balanced_class_weights(datasets["train"].labels, num_classes)
 
     metrics_dir, ckpt_dir = default_dirs(cfg, f"cues_{mode}")
-    model = get_cue_model(model_name, num_classes, dtype=model_dtype(cfg))
+    model = get_cue_model(model_name, num_classes, dtype=model_dtype(cfg),
+                          bert_size=cfg.get("model.bert_size", "tiny"))
     trainer = Trainer(
         model,
         TrainerConfig(
