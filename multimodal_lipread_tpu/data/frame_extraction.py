@@ -10,7 +10,6 @@ from __future__ import annotations
 import os
 from typing import Tuple
 
-import numpy as np
 
 from multimodal_lipread_tpu.data.glips import SPLITS, lipread_files_dir
 
@@ -23,7 +22,10 @@ def extract_frames_from_video(video_path: str, out_dir: str, stem: str, num_fram
     if total <= 0:
         cap.release()
         return 0
-    idxs = np.linspace(0, total - 1, min(num_frames, total)).astype(int)
+    # exact reference selection and naming (cues/extract_frames.py:17,29):
+    # indices int(i*total/num_frames) — thirds, NOT endpoints — and 1-based
+    # _frame{K}.jpg names, so repo- and reference-extracted trees interleave
+    idxs = [int(i * total / num_frames) for i in range(num_frames)]
     os.makedirs(out_dir, exist_ok=True)
     written = 0
     for k, idx in enumerate(idxs):
@@ -31,7 +33,7 @@ def extract_frames_from_video(video_path: str, out_dir: str, stem: str, num_fram
         ok, frame = cap.read()
         if not ok:
             continue
-        cv2.imwrite(os.path.join(out_dir, f"{stem}_frame{k}.jpg"), frame)
+        cv2.imwrite(os.path.join(out_dir, f"{stem}_frame{k + 1}.jpg"), frame)
         written += 1
     cap.release()
     return written

@@ -109,14 +109,17 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
         TrainerConfig(
             model_name=model_name,
             num_classes=num_classes,
-            batch_size=cfg.get("train.batch", cfg.get("training.batch_size", 8)),
-            epochs=cfg.get("train.epochs", cfg.get("training.epochs", 10)),
-            learning_rate=cfg.get("train.lr", cfg.get("training.learning_rate", 1e-5)),
-            weight_decay=cfg.get("train.weight_decay", cfg.get("training.weight_decay", 1e-5)),
+            # reference defaults: audio_cues_video/train.py:128,162,166
+            # (batch 4, Adam(lr=1e-4) with NO weight decay, 30 epochs)
+            batch_size=cfg.get("train.batch", cfg.get("training.batch_size", 4)),
+            epochs=cfg.get("train.epochs", cfg.get("training.epochs", 30)),
+            learning_rate=cfg.get("train.lr", cfg.get("training.learning_rate", 1e-4)),
+            weight_decay=cfg.get("train.weight_decay", cfg.get("training.weight_decay", 0.0)),
             # reference: audio_cues_video/train.py:163 ReduceLROnPlateau(min, 0.5, 3)
             scheduler_mode="min",
             scheduler_factor=0.5,
             scheduler_patience=3,
+            log_txt_header=True,  # reference pre-creates the "Training Log" TXT banner
             seed=cfg.get("train.seed", cfg.get("training.seed", 0)),
             metrics_dir=metrics_dir,
             checkpoints_dir=ckpt_dir,

@@ -37,8 +37,13 @@ def load_cue_video_datasets(
 ) -> Tuple[Dict[str, ArrayDataset], list]:
     lip_index = scan_lip_regions(lip_root)
     cue_map = records_by_key(load_cue_records(cue_root, cue_mode))
-    classes = lip_index.classes
-    class_to_idx = lip_index.class_to_idx
+    # reference fits its LabelEncoder on the ALIGNED train-split words only
+    # (cues_video/train.py:68-72) — a word with lips but no train-split cue
+    # coverage must not widen the classifier head
+    classes = sorted({
+        e.word for e in lip_index.by_split("train") if e.key in cue_map
+    })
+    class_to_idx = {w: i for i, w in enumerate(classes)}
 
     datasets: Dict[str, ArrayDataset] = {}
     for split in splits:
@@ -86,14 +91,17 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
         TrainerConfig(
             model_name=model_name,
             num_classes=num_classes,
-            batch_size=cfg.get("train.batch", cfg.get("training.batch_size", 8)),
-            epochs=cfg.get("train.epochs", cfg.get("training.epochs", 10)),
+            # reference defaults: cues_video/train.py:152-155 (batch 4,
+            # lr 1e-4, 30 epochs, weight_decay 1e-4)
+            batch_size=cfg.get("train.batch", cfg.get("training.batch_size", 4)),
+            epochs=cfg.get("train.epochs", cfg.get("training.epochs", 30)),
             learning_rate=cfg.get("train.lr", cfg.get("training.learning_rate", 1e-4)),
-            weight_decay=cfg.get("train.weight_decay", cfg.get("training.weight_decay", 1e-5)),
+            weight_decay=cfg.get("train.weight_decay", cfg.get("training.weight_decay", 1e-4)),
             # reference: cues_video/train.py:192 ReduceLROnPlateau(min, 0.5, 3)
             scheduler_mode="min",
             scheduler_factor=0.5,
             scheduler_patience=3,
+            log_txt_header=True,  # reference pre-creates the "Training Log" TXT banner
             seed=cfg.get("train.seed", cfg.get("training.seed", 0)),
             metrics_dir=metrics_dir,
             checkpoints_dir=ckpt_dir,

@@ -126,6 +126,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             checkpoints_dir=ckpt_dir,
             test_every_epoch=True,
             rolling_checkpoint=True,  # reference: video/train.py:252-262
+            log_txt_header=True,  # reference pre-creates the "Training Log" TXT banner
             # the reference's augmentation YAML block is dead config
             # (visual_config.yaml:33-46); here it actually works, default off
             mixup_alpha=cfg.get("augmentation.mixup_alpha", 0.0),
@@ -139,11 +140,12 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     maybe_plot(cfg, metrics_dir)
 
     if "final_test_acc" in result:
+        # exact reference schema (video/train.py:277-280)
         with open(os.path.join(ckpt_dir, "test_results.txt"), "w") as f:
             f.write(
-                f"Model: {model_name}\n"
-                f"Test Loss: {result['final_test_loss']:.4f}\n"
-                f"Test Acc: {result['final_test_acc']:.2f}%\n"
+                f"Final Test Loss: {result['final_test_loss']:.4f}\n"
+                f"Final Test Acc: {result['final_test_acc']:.2f}%\n"
+                f"Best Val Acc: {result['best_val_acc']:.2f}%\n"
             )
     return result
 

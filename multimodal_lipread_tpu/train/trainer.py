@@ -15,6 +15,15 @@ their observable behavior:
 - optional class-weighted cross entropy (reference:
   cues/models/minilm_models/dense.py:198-201)
 
+Deliberate divergence: epoch losses here are EXACT per-example means. The
+reference's audio/video/audio_video trainers log mean-of-batch-means
+(e.g. audio/train.py:105 total_loss/len(dataloader)) over SHUFFLED val
+loaders, which over-weights the short final batch by a per-epoch-random
+factor; reproducing that would add noise to the plateau scheduler's input
+for no benefit. Accuracies are unaffected; loss columns can differ from
+reference logs in the last decimal places, and LR-reduction epochs can
+shift by the same noise the reference itself exhibits across reruns.
+
 TPU-first design (not in the reference):
 
 - the whole dataset is preprocessed to fixed-shape arrays up front, so the
@@ -91,6 +100,9 @@ class TrainerConfig:
     metrics_dir: str = "metrics"
     checkpoints_dir: str = "models_trained"
     log_columns: str = "full"  # 'full' or 'train_val'
+    # pre-create the TXT log with the reference's "Training Log" banner
+    # (video/cues_video/triple trainers only)
+    log_txt_header: bool = False
     test_every_epoch: bool = True
     rolling_checkpoint: bool = False
     class_weights: Optional[np.ndarray] = None
@@ -179,7 +191,9 @@ class Trainer:
             patience=config.scheduler_patience,
             min_lr=config.min_lr,
         )
-        self.logger = MetricLogger(config.metrics_dir, config.model_name, columns=config.log_columns)
+        self.logger = MetricLogger(config.metrics_dir, config.model_name,
+                                   columns=config.log_columns,
+                                   txt_header=config.log_txt_header)
         cw = config.class_weights
         self._class_weights = None if cw is None else jnp.asarray(cw, jnp.float32)
         # per-step LR function, built in fit() once total steps are known
@@ -557,7 +571,11 @@ class Trainer:
         if isinstance(ds, ArrayDataset) and self.config.device_resident:
             data, labels_all = self._device_dataset(ds)
             for idx, weights in self._index_batches(ds, shuffle=True, rng=rng):
-                if self._preempted:
+                if self._preempted and jax.process_count() == 1:
+                    # multi-host runs must not break mid-epoch: each batch is
+                    # a collective step, and hosts receive SIGTERM at
+                    # different times — consensus happens at the epoch
+                    # boundary in _fit_loop instead
                     break
                 if self._lr_step_fn is not None:
                     self._set_lr(self._lr_step_fn(self._global_step))
@@ -577,8 +595,8 @@ class Trainer:
         else:  # StreamingDataset (grain-backed host loading)
             batches = self._stream_batches(ds, epoch, shuffle=True)
         for inputs, labels, weights in batches:
-            if self._preempted:
-                break
+            if self._preempted and jax.process_count() == 1:
+                break  # multi-host: see the device-resident loop's comment
             if self._lr_step_fn is not None:
                 self._set_lr(self._lr_step_fn(self._global_step))
             self.state, l, c, n, w = self._train_step(self.state, inputs, labels, weights, base_rng)
@@ -796,6 +814,15 @@ class Trainer:
             tr = self.train_epoch(train_ds, data_rng, base_rng, epoch=epoch)
             if tracing:
                 jax.profiler.stop_trace()
+            if cfg.handle_preemption and jax.process_count() > 1:
+                # all hosts must agree to stop, or the survivors hang in the
+                # next collective; any host's SIGTERM preempts every host
+                from jax.experimental import multihost_utils
+
+                flags = multihost_utils.process_allgather(
+                    np.asarray(1 if self._preempted else 0)
+                )
+                self._preempted = bool(np.asarray(flags).max())
             if self._preempted:
                 # attribute the save to the last COMPLETED epoch: --resume
                 # replays the interrupted one from its start

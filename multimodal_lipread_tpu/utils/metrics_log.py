@@ -24,11 +24,13 @@ class MetricLogger:
     FULL_HEADER = ["epoch", "train_loss", "train_acc", "val_loss", "val_acc", "test_loss", "test_acc"]
     TRAIN_VAL_HEADER = ["epoch", "train_loss", "train_acc", "val_loss", "val_acc"]
 
-    def __init__(self, metrics_dir: str, model_name: str, columns: str = "full"):
+    def __init__(self, metrics_dir: str, model_name: str, columns: str = "full",
+                 txt_header: bool = False):
         assert columns in ("full", "train_val")
         self.columns = columns
         self.metrics_dir = metrics_dir
         self.model_name = model_name
+        self.txt_header = txt_header
         os.makedirs(metrics_dir, exist_ok=True)
         self.csv_path = os.path.join(metrics_dir, f"{model_name}_training_log.csv")
         self.txt_path = os.path.join(metrics_dir, f"{model_name}_training_log.txt")
@@ -39,6 +41,13 @@ class MetricLogger:
             with open(self.csv_path, "w", newline="") as f:
                 writer = csv.writer(f)
                 writer.writerow(self.FULL_HEADER if self.columns == "full" else self.TRAIN_VAL_HEADER)
+        # the video/cues_video/triple reference trainers pre-create the TXT
+        # log with a "Training Log" banner (video/train.py:50-52,
+        # cues_video/train.py:41-43, audio_cues_video/train.py:33-35); the
+        # audio-family trainers do not
+        if self.txt_header and not os.path.exists(self.txt_path):
+            with open(self.txt_path, "w") as f:
+                f.write("Training Log\n\n")
 
     def log_epoch(
         self,

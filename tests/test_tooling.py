@@ -76,7 +76,7 @@ def test_frame_extraction(tmp_path):
     nv, nf = extract_dataset_frames(str(root), str(tmp_path / "cue_data"))
     assert nv == 1 and nf == 3
     files = os.listdir(tmp_path / "cue_data" / "train" / "wort")
-    assert sorted(files) == [f"wort_0001-0002_frame{k}.jpg" for k in range(3)]
+    assert sorted(files) == [f"wort_0001-0002_frame{k}.jpg" for k in (1, 2, 3)]  # 1-based, reference naming
 
 
 def test_group_frames_by_sequence(tmp_path):
