@@ -46,4 +46,11 @@ def test_video_pipeline_end_to_end(glips_root, tmp_path):
     ckpt_dir = tmp_path / "video" / "models_trained"
     assert os.path.exists(ckpt_dir / "cnn_best.msgpack")
     assert os.path.exists(ckpt_dir / "cnn_checkpoint.msgpack")  # rolling
-    assert "Test Acc" in (ckpt_dir / "test_results.txt").read_text()
+    # exact reference test_results.txt schema (video/train.py:277-280)
+    results_txt = (ckpt_dir / "test_results.txt").read_text()
+    assert "Final Test Loss:" in results_txt
+    assert "Final Test Acc:" in results_txt
+    assert "Best Val Acc:" in results_txt
+    # reference pre-creates the TXT log with a banner (video/train.py:50-52)
+    txt_log = (tmp_path / "video" / "metrics" / "cnn_training_log.txt").read_text()
+    assert txt_log.startswith("Training Log\n\n")
