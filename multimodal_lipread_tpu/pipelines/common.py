@@ -205,7 +205,16 @@ def load_pretrained_backbones(trainer, cfg: Config) -> int:
 
 
 def parse_cli(default_config: Optional[str] = None) -> Config:
-    """--config path.yaml [--set a.b=c ...] → Config with overrides applied."""
+    """--config path.yaml [--set a.b=c ...] → Config with overrides applied.
+
+    Also the production entry point for multi-host init: jax.distributed
+    must be initialized before ANY jax computation, and every CLI launch
+    (``python -m ...`` and the ``mlt-*`` scripts) routes through here.
+    No-op on single-process runs.
+    """
+    from multimodal_lipread_tpu.parallel.distributed import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", default=default_config, required=default_config is None)
     parser.add_argument("--set", action="append", default=[], metavar="KEY=VALUE")

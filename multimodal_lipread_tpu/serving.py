@@ -141,20 +141,29 @@ def predict_audio_clips(
     from multimodal_lipread_tpu.pipelines.common import (
         compute_logmel_features,
         decode_waveforms,
+        model_dtype,
     )
-
-    import jax.numpy as _jnp
 
     num_classes = config.get("dataset.num_classes", 4)
     input_size = config.get("dataset.input_size", 117)
     # rebuild the model EXACTLY as the training pipeline did — a mismatched
     # use_batchnorm/dtype changes the param tree and the restore fails
+    # (model_dtype is the same helper the pipelines use)
     model = get_audio_model(
         config.get("model.name", "resnet"), num_classes,
         input_size=input_size, version=config.get("model.version", 16),
         use_batchnorm=config.get("model.use_batchnorm", True),
-        dtype=_jnp.bfloat16 if str(config.get("model.dtype", "float32")) == "bfloat16" else _jnp.float32,
+        dtype=model_dtype(config),
     )
+    streaming = bool(config.get("dataset.streaming", False))
+    if streaming:
+        # streaming-trained checkpoints wrap the classifier in WaveToLogMel
+        # (pipelines/audio.py): params nest one level deeper and the net
+        # consumes raw waveforms — rebuild the same wrapper or the restore
+        # fails with missing-key errors
+        from multimodal_lipread_tpu.models.frontend import WaveToLogMel
+
+        model = WaveToLogMel(model, input_size=input_size)
     classes = None
     root = config.get("dataset.root_dir")
     if root:
@@ -164,9 +173,12 @@ def predict_audio_clips(
             pass
 
     waves = decode_waveforms(list(clip_paths))
-    mels = compute_logmel_features(waves, input_size=input_size)
-    predictor = Predictor.from_checkpoint(model, ckpt_path, (mels[:1],), batch_size)
-    logits = predictor.predict_logits(mels)
+    if streaming:
+        inputs = waves  # log-mel runs on device inside the wrapped model
+    else:
+        inputs = compute_logmel_features(waves, input_size=input_size)
+    predictor = Predictor.from_checkpoint(model, ckpt_path, (inputs[:1],), batch_size)
+    logits = predictor.predict_logits(inputs)
     preds = np.argmax(logits, axis=-1)
     results = []
     for path, p, l in zip(clip_paths, preds, logits):

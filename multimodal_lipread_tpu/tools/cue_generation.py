@@ -30,20 +30,30 @@ import time
 from concurrent.futures import ThreadPoolExecutor
 from typing import Callable, Dict, List, Optional, Sequence
 
-SEQ_FRAME_RE = re.compile(r"(.+_\d{4}-\d{4})_frame\d+\.jpg$")
+# reference accepts any digit run (generate_all_cues.py:29 \d+-\d+); do
+# not silently drop non-4-digit-padded sequence ids
+SEQ_FRAME_RE = re.compile(r"(.+_\d+-\d+)_frame\d+\.jpg$")
 
-PROMPTS = {
-    "emotion": (
-        "You are given up to three frames of a person speaking a single German "
-        "word. Describe the speaker's apparent emotional state and facial "
-        "expression while articulating, in 2-3 sentences. Do not guess the word."
-    ),
-    "environment": (
-        "You are given up to three frames of a person speaking a single German "
-        "word. Describe the visual environment and background of the scene "
-        "(setting, lighting, backdrop) in 2-3 sentences. Do not guess the word."
-    ),
-}
+
+def build_prompt(mode: str, word: str) -> str:
+    """VERBATIM reference prompts (cues/generate_all_cues.py:68-71).
+
+    The emotion prompt embeds the spoken word, so generated descriptions can
+    leak it — exactly as the reference's do; that is what tools/data_clean.py
+    exists to sanitize afterwards. Reproducing the prompt (leak included)
+    keeps regenerated cue corpora distribution-compatible with the
+    reference's committed cue datasets.
+    """
+    if mode == "emotion":
+        return (
+            "Describe the speaker\u2019s emotional cues from their facial "
+            f"expressions and eye movement in these video frames of someone "
+            f"pronouncing '{word}'."
+        )
+    return (
+        "Describe the environment around the speaker, include information on "
+        "light, background scene, place, etc."
+    )
 
 
 class RateLimiter:
@@ -119,13 +129,13 @@ def generate_cues_for_word(
     if client is None:
         client = _default_client_factory(api_key)
     limiter = rate_limiter or RateLimiter()
-    prompt = PROMPTS[mode]
+    prompt = build_prompt(mode, word)
     groups = group_frames_by_sequence(frames_dir)
     results: List[dict] = []
     lock = threading.Lock()
 
     def process_sequence(stem: str, paths: List[str]) -> Optional[dict]:
-        sid_m = re.search(r"\d{4}-\d{4}", stem)
+        sid_m = re.search(r"\d+-\d+", stem)
         if not sid_m:
             return None
         for attempt in range(max_retries):

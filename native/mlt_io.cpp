@@ -143,13 +143,13 @@ long long parse_npy_shape_elems(const std::string& header) {
     return any ? elems : 1;  // '()' scalar → 1 element
 }
 
-// Minimal .npy v1/v2 parser for C-contiguous uint8 arrays. Rejects files
-// whose declared shape does not hold exactly expected_elems elements —
-// loading the leading bytes of a differently-shaped array would yield
-// silently scrambled data.
-bool load_npy_u8(const char* path, long long expected_elems, float scale, float* out) {
-    std::vector<uint8_t> buf;
-    if (!read_file(path, buf) || buf.size() < 12) return false;
+// Minimal .npy v1/v2 validation for C-contiguous uint8 arrays of exactly
+// expected_elems elements; on success sets data_off to the payload start.
+// Rejecting shape mismatches matters: loading the leading bytes of a
+// differently-shaped array would yield silently scrambled data.
+bool parse_npy_u8_header(const std::vector<uint8_t>& buf, long long expected_elems,
+                         size_t* data_off) {
+    if (buf.size() < 12) return false;
     static const uint8_t magic[6] = {0x93, 'N', 'U', 'M', 'P', 'Y'};
     if (std::memcmp(buf.data(), magic, 6) != 0) return false;
     uint8_t major = buf[6];
@@ -162,16 +162,21 @@ bool load_npy_u8(const char* path, long long expected_elems, float scale, float*
         header_off = 12;
     }
     if (header_off + header_len > buf.size()) return false;
-    std::string header(reinterpret_cast<char*>(buf.data() + header_off), header_len);
+    std::string header(reinterpret_cast<const char*>(buf.data() + header_off), header_len);
     if (header.find("'|u1'") == std::string::npos && header.find("'uint8'") == std::string::npos)
         return false;
     if (header.find("'fortran_order': True") != std::string::npos) return false;
     if (parse_npy_shape_elems(header) != expected_elems) return false;
+    *data_off = header_off + header_len;
+    if (static_cast<long long>(buf.size() - *data_off) < expected_elems) return false;
+    return true;
+}
 
-    size_t data_off = header_off + header_len;
-    long long available = static_cast<long long>(buf.size() - data_off);
-    if (available < expected_elems) return false;
-
+bool load_npy_u8(const char* path, long long expected_elems, float scale, float* out) {
+    std::vector<uint8_t> buf;
+    size_t data_off;
+    if (!read_file(path, buf) || !parse_npy_u8_header(buf, expected_elems, &data_off))
+        return false;
     const uint8_t* p = buf.data() + data_off;
     for (long long i = 0; i < expected_elems; ++i) out[i] = p[i] * scale;
     return true;
@@ -181,26 +186,9 @@ bool load_npy_u8(const char* path, long long expected_elems, float scale, float*
 // keep the 4x-smaller host→device copy and normalize on device).
 bool load_npy_u8_raw(const char* path, long long expected_elems, uint8_t* out) {
     std::vector<uint8_t> buf;
-    if (!read_file(path, buf) || buf.size() < 12) return false;
-    static const uint8_t magic[6] = {0x93, 'N', 'U', 'M', 'P', 'Y'};
-    if (std::memcmp(buf.data(), magic, 6) != 0) return false;
-    uint8_t major = buf[6];
-    size_t header_len, header_off;
-    if (major == 1) {
-        header_len = rd_u16(buf.data() + 8);
-        header_off = 10;
-    } else {
-        header_len = rd_u32(buf.data() + 8);
-        header_off = 12;
-    }
-    if (header_off + header_len > buf.size()) return false;
-    std::string header(reinterpret_cast<char*>(buf.data() + header_off), header_len);
-    if (header.find("'|u1'") == std::string::npos && header.find("'uint8'") == std::string::npos)
+    size_t data_off;
+    if (!read_file(path, buf) || !parse_npy_u8_header(buf, expected_elems, &data_off))
         return false;
-    if (header.find("'fortran_order': True") != std::string::npos) return false;
-    if (parse_npy_shape_elems(header) != expected_elems) return false;
-    size_t data_off = header_off + header_len;
-    if (static_cast<long long>(buf.size() - data_off) < expected_elems) return false;
     std::memcpy(out, buf.data() + data_off, expected_elems);
     return true;
 }
