@@ -155,6 +155,12 @@ def _enable_compile_cache() -> None:
     if not path:
         return
     try:
+        # Segregate by backend platform: a TPU-session process can cache
+        # host-CPU AOT entries compiled on the REMOTE compile helper's
+        # machine, whose vector features a plain-CPU process on this host
+        # may not support (observed XLA 'could lead to SIGILL' warning when
+        # sharing one directory across axon and cpu processes).
+        path = f"{path}-{jax.default_backend()}"
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
