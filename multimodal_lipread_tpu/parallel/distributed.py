@@ -28,8 +28,12 @@ def maybe_initialize_distributed() -> bool:
     """
     coordinator = os.environ.get("JAX_COORDINATOR_ADDRESS")
     num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "0") or 0)
+    # Pod auto-detect must require MULTIPLE workers: single-chip tunneled
+    # environments (axon) also export TPU_WORKER_HOSTNAMES, and calling
+    # jax.distributed.initialize() there dies on a missing coordinator.
+    hostnames = os.environ.get("TPU_WORKER_HOSTNAMES", "")
     pod_env = bool(
-        os.environ.get("TPU_WORKER_HOSTNAMES") or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
+        ("," in hostnames) or os.environ.get("MEGASCALE_COORDINATOR_ADDRESS")
     )
     if not ((coordinator and num_processes > 1) or pod_env):
         return False
@@ -50,3 +54,8 @@ def maybe_initialize_distributed() -> bool:
         if "already" in str(e).lower():  # initialize() called twice
             return True
         raise
+    except ValueError as e:
+        # mis-detected pod metadata (no derivable coordinator) must degrade
+        # to single-process training, never kill the run
+        print(f"jax.distributed auto-init skipped: {e}")
+        return False

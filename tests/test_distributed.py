@@ -78,3 +78,16 @@ def test_two_process_distributed_init():
     for rc, out, err in outs:
         assert rc == 0, err[-2000:]
         assert "DIST_OK" in out
+
+
+def test_maybe_initialize_noops_on_single_worker_tunnel(monkeypatch):
+    """Single-chip tunneled environments export TPU_WORKER_HOSTNAMES with ONE
+    host; auto-init must not fire there (it would die on a missing
+    coordinator and kill every CLI launch)."""
+    from multimodal_lipread_tpu.parallel.distributed import maybe_initialize_distributed
+
+    for k in ("JAX_COORDINATOR_ADDRESS", "JAX_NUM_PROCESSES",
+              "MEGASCALE_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(k, raising=False)
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert maybe_initialize_distributed() is False
