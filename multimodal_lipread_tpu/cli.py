@@ -80,6 +80,10 @@ def cue_generate() -> int:
     return _module_main("multimodal_lipread_tpu.tools.cue_generation")
 
 
+def transcode() -> int:
+    return _module_main("multimodal_lipread_tpu.tools.transcode")
+
+
 if __name__ == "__main__":
     # `python -m multimodal_lipread_tpu.cli <pipeline> ...` also works
     if len(sys.argv) < 2:

@@ -174,7 +174,14 @@ class NativePrefetcher:
 
     def start_epoch(self, order: np.ndarray) -> None:
         order = np.ascontiguousarray(order, np.int64)
-        assert order.size == 0 or (order.min() >= 0 and order.max() < self.n_files)
+        # explicit raise (not assert): an out-of-range index would reach the
+        # C++ worker_loop, which indexes paths with no bounds check — and
+        # assert is stripped under ``python -O``
+        if order.size and (order.min() < 0 or order.max() >= self.n_files):
+            raise ValueError(
+                f"epoch order indices must be in [0, {self.n_files}); got "
+                f"range [{order.min()}, {order.max()}]"
+            )
         self._order_keepalive = order  # must outlive the epoch
         self._lib.mlt_prefetch_start(
             self._handle, order.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),

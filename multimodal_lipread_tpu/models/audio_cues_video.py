@@ -49,20 +49,33 @@ class ModalityAttentionFusion(nn.Module):
 
 class TripleAudioEncoder(nn.Module):
     """ResNet18 over the 1-channel mel image → 512-d; optionally frozen
-    (reference: early_fusion_mobile.py:128-152)."""
+    (reference: early_fusion_mobile.py:128-152).
+
+    ``frozen_bn_eval=True`` runs the (frozen) backbone's BatchNorm on its
+    running averages even under ``train=True`` — the reference's
+    CONSTRUCTION-time intent (``BN.eval()``, early_fusion_mobile.py:141-144)
+    before its train loop's ``model.train()`` flips it back. This makes the
+    frozen encoder per-sample deterministic, which is what permits
+    ``training.cache_frozen_features`` (precompute-once) with an identical
+    trajectory."""
 
     frozen: bool = False
+    frozen_bn_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, mel, train: bool = False):
+    def __call__(self, mel, train: bool = False, cached_features: bool = False):
+        if cached_features:
+            # `mel` is already the precomputed (B, 512) encoder output
+            return mel
         # The reference freezes params + BN.eval() at construction, but its
         # train loop calls model.train() every epoch (train.py:53), which
         # puts BN back in batch-stats mode — so the effective reference
         # behavior is train-mode BN with no weight gradients. Reproduce
-        # that: BN follows `train`; gradients stop below; frozen params are
-        # additionally excluded from the optimizer by the pipeline.
-        feats = ResNet(18, dtype=self.dtype, name="resnet")(mel[..., None], train)
+        # that by default: BN follows `train`; gradients stop below; frozen
+        # params are additionally excluded from the optimizer by the pipeline.
+        bb_train = train and not (self.frozen and self.frozen_bn_eval)
+        feats = ResNet(18, dtype=self.dtype, name="resnet")(mel[..., None], bb_train)
         return jax.lax.stop_gradient(feats) if self.frozen else feats
 
 
@@ -104,21 +117,32 @@ class TripleVideoEncoder(nn.Module):
     backbone: str = "mobilenet_v2"
     feature_dim: int = 256
     frozen: bool = False
+    frozen_bn_eval: bool = False
     lstm_layers: int = 1
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, video, train: bool = False):
-        B, T = video.shape[0], video.shape[1]
-        flat = video.reshape((B * T,) + video.shape[2:])
-        # BN runs in train mode even when frozen — see TripleAudioEncoder
-        if self.backbone == "mobilenet_v2":
-            feats = MobileNetV2(dtype=self.dtype, name="cnn")(flat, train)
+    def __call__(self, video, train: bool = False, cached_features: bool = False,
+                 return_cnn_features: bool = False):
+        if cached_features:
+            # `video` is already the precomputed (B, T, D) per-frame CNN
+            # features; only the trainable BiLSTM runs
+            seq = video
         else:
-            feats = ResNet(18, dtype=self.dtype, name="cnn")(flat, train)
-        if self.frozen:
-            feats = jax.lax.stop_gradient(feats)
-        seq = feats.reshape(B, T, -1)
+            B, T = video.shape[0], video.shape[1]
+            flat = video.reshape((B * T,) + video.shape[2:])
+            # BN runs in train mode even when frozen by default — see
+            # TripleAudioEncoder; frozen_bn_eval pins it to running stats
+            bb_train = train and not (self.frozen and self.frozen_bn_eval)
+            if self.backbone == "mobilenet_v2":
+                feats = MobileNetV2(dtype=self.dtype, name="cnn")(flat, bb_train)
+            else:
+                feats = ResNet(18, dtype=self.dtype, name="cnn")(flat, bb_train)
+            if self.frozen:
+                feats = jax.lax.stop_gradient(feats)
+            seq = feats.reshape(B, T, -1)
+            if return_cnn_features:
+                return seq
         # reference: nn.LSTM(..., dropout=0.3) on the 2-layer variants
         out = BiLSTM(self.feature_dim // 2, self.lstm_layers, dropout=0.3,
                      dtype=self.dtype, name="lstm")(seq, train=train)
@@ -133,15 +157,25 @@ class MultimodalAttentionEarly(nn.Module):
     video_backbone: str = "mobilenet_v2"
     frozen: bool = True
     lstm_layers: int = 1
+    frozen_bn_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, mel, cue, lip, train: bool = False):
-        a = TripleAudioEncoder(frozen=self.frozen, dtype=self.dtype, name="audio")(mel, train)
+    def __call__(self, mel, cue, lip, train: bool = False,
+                 cached_features: bool = False,
+                 return_frozen_features: bool = False):
+        audio_enc = TripleAudioEncoder(frozen=self.frozen,
+                                       frozen_bn_eval=self.frozen_bn_eval,
+                                       dtype=self.dtype, name="audio")
+        video_enc = TripleVideoEncoder(self.video_backbone, frozen=self.frozen,
+                                       frozen_bn_eval=self.frozen_bn_eval,
+                                       lstm_layers=self.lstm_layers,
+                                       dtype=self.dtype, name="video")
+        a = audio_enc(mel, train, cached_features)
+        if return_frozen_features:
+            return a, video_enc(lip, train, return_cnn_features=True)
         c = TripleCueEncoder(dtype=self.dtype, name="cue")(cue, train)
-        v = TripleVideoEncoder(self.video_backbone, frozen=self.frozen,
-                               lstm_layers=self.lstm_layers, dtype=self.dtype,
-                               name="video")(lip, train)
+        v = video_enc(lip, train, cached_features)
         a = nn.Dense(256, dtype=self.dtype, name="ap")(a)
         c = nn.Dense(256, dtype=self.dtype, name="cp")(c)
         v = nn.Dense(256, dtype=self.dtype, name="vp")(v)
@@ -159,15 +193,25 @@ class MultimodalAttentionMiddle(nn.Module):
     video_backbone: str = "mobilenet_v2"
     frozen: bool = False
     lstm_layers: int = 2
+    frozen_bn_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, mel, cue, lip, train: bool = False):
-        a = TripleAudioEncoder(frozen=self.frozen, dtype=self.dtype, name="audio")(mel, train)
+    def __call__(self, mel, cue, lip, train: bool = False,
+                 cached_features: bool = False,
+                 return_frozen_features: bool = False):
+        audio_enc = TripleAudioEncoder(frozen=self.frozen,
+                                       frozen_bn_eval=self.frozen_bn_eval,
+                                       dtype=self.dtype, name="audio")
+        video_enc = TripleVideoEncoder(self.video_backbone, frozen=self.frozen,
+                                       frozen_bn_eval=self.frozen_bn_eval,
+                                       lstm_layers=self.lstm_layers,
+                                       dtype=self.dtype, name="video")
+        a = audio_enc(mel, train, cached_features)
+        if return_frozen_features:
+            return a, video_enc(lip, train, return_cnn_features=True)
         c = TripleCueEncoder(style="plain", dtype=self.dtype, name="cue")(cue, train)
-        v = TripleVideoEncoder(self.video_backbone, frozen=self.frozen,
-                               lstm_layers=self.lstm_layers, dtype=self.dtype,
-                               name="video")(lip, train)
+        v = video_enc(lip, train, cached_features)
         a = nn.Dense(256, dtype=self.dtype, name="ap")(a)
         v = nn.Dense(256, dtype=self.dtype, name="vp")(v)
         fused, _ = ModalityAttentionFusion(dtype=self.dtype, name="attn")([a, c, v])
@@ -187,15 +231,25 @@ class MultimodalAttentionLate(nn.Module):
     video_backbone: str = "mobilenet_v2"
     frozen: bool = False
     lstm_layers: int = 2
+    frozen_bn_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, mel, cue, lip, train: bool = False):
-        a = TripleAudioEncoder(frozen=self.frozen, dtype=self.dtype, name="audio")(mel, train)
+    def __call__(self, mel, cue, lip, train: bool = False,
+                 cached_features: bool = False,
+                 return_frozen_features: bool = False):
+        audio_enc = TripleAudioEncoder(frozen=self.frozen,
+                                       frozen_bn_eval=self.frozen_bn_eval,
+                                       dtype=self.dtype, name="audio")
+        video_enc = TripleVideoEncoder(self.video_backbone, frozen=self.frozen,
+                                       frozen_bn_eval=self.frozen_bn_eval,
+                                       lstm_layers=self.lstm_layers,
+                                       dtype=self.dtype, name="video")
+        a = audio_enc(mel, train, cached_features)
+        if return_frozen_features:
+            return a, video_enc(lip, train, return_cnn_features=True)
         c = TripleCueEncoder(style="plain", dtype=self.dtype, name="cue")(cue, train)
-        v = TripleVideoEncoder(self.video_backbone, frozen=self.frozen,
-                               lstm_layers=self.lstm_layers, dtype=self.dtype,
-                               name="video")(lip, train)
+        v = video_enc(lip, train, cached_features)
         a_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="afc")(a)
         c_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="cfc")(c)
         v_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="vfc")(v)
@@ -226,20 +280,27 @@ class MultimodalThreeNet(nn.Module):
         return nn.Dense(self.num_classes, dtype=self.dtype, name="fc2")(x)
 
 
-def get_triple_model(name: str, num_classes: int, dtype: Any = jnp.float32) -> nn.Module:
+def get_triple_model(name: str, num_classes: int, dtype: Any = jnp.float32,
+                     frozen_bn_eval: bool = False) -> nn.Module:
     # reference parity table (freeze, lstm_layers):
     #   early mobile/resnet + middle resnet → frozen encoders, 1-layer BiLSTM
     #   middle/late mobile + late resnet    → trainable encoders, 2-layer BiLSTM
+    # frozen_bn_eval pins the FROZEN encoders' BN to running stats (the
+    # reference's construction-time intent; required by feature caching) —
+    # a no-op for the variants with trainable encoders.
     if name == "early_fusion_mobile":
-        return MultimodalAttentionEarly(num_classes, "mobilenet_v2", True, 1, dtype=dtype)
+        return MultimodalAttentionEarly(num_classes, "mobilenet_v2", True, 1,
+                                        frozen_bn_eval, dtype=dtype)
     if name == "middle_fusion_mobile":
         return MultimodalAttentionMiddle(num_classes, "mobilenet_v2", False, 2, dtype=dtype)
     if name == "late_fusion_mobile":
         return MultimodalAttentionLate(num_classes, "mobilenet_v2", False, 2, dtype=dtype)
     if name == "early_fusion_resnet":
-        return MultimodalAttentionEarly(num_classes, "resnet18", True, 1, dtype=dtype)
+        return MultimodalAttentionEarly(num_classes, "resnet18", True, 1,
+                                        frozen_bn_eval, dtype=dtype)
     if name == "middle_fusion_resnet":
-        return MultimodalAttentionMiddle(num_classes, "resnet18", True, 1, dtype=dtype)
+        return MultimodalAttentionMiddle(num_classes, "resnet18", True, 1,
+                                         frozen_bn_eval, dtype=dtype)
     if name == "late_fusion_resnet":
         return MultimodalAttentionLate(num_classes, "resnet18", False, 2, dtype=dtype)
     if name == "test_model":

@@ -40,19 +40,30 @@ class VideoLSTMSeqEncoder(nn.Module):
     feature_dim: int = 256
     freeze_backbone: bool = False
     lstm_layers: int = 1
+    frozen_bn_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, video, train: bool = False):
-        B, T = video.shape[0], video.shape[1]
-        flat = video.reshape((B * T,) + video.shape[2:])
-        if self.backbone == "mobilenet_v2":
-            feats = MobileNetV2(dtype=self.dtype, name="cnn")(flat, train)
+    def __call__(self, video, train: bool = False, cached_features: bool = False,
+                 return_cnn_features: bool = False):
+        if cached_features:
+            # `video` is already the precomputed (B, T, D) CNN feature seq
+            seq = video
         else:
-            feats = ResNet(18, dtype=self.dtype, name="cnn")(flat, train)
-        if self.freeze_backbone:
-            feats = jax.lax.stop_gradient(feats)
-        seq = feats.reshape(B, T, -1)
+            B, T = video.shape[0], video.shape[1]
+            flat = video.reshape((B * T,) + video.shape[2:])
+            # frozen_bn_eval pins the frozen backbone's BN to running stats
+            # (per-sample deterministic → feature caching stays exact)
+            bb_train = train and not (self.freeze_backbone and self.frozen_bn_eval)
+            if self.backbone == "mobilenet_v2":
+                feats = MobileNetV2(dtype=self.dtype, name="cnn")(flat, bb_train)
+            else:
+                feats = ResNet(18, dtype=self.dtype, name="cnn")(flat, bb_train)
+            if self.freeze_backbone:
+                feats = jax.lax.stop_gradient(feats)
+            seq = feats.reshape(B, T, -1)
+            if return_cnn_features:
+                return seq
         # reference: nn.LSTM(..., dropout=0.3) — effective only for the
         # 2-layer (resnet/test_model) variants, matching torch semantics
         return BiLSTM(self.feature_dim // 2, self.lstm_layers, dropout=0.3,
@@ -67,13 +78,19 @@ class EarlyAttentionFusion(nn.Module):
     backbone: str = "mobilenet_v2"
     freeze_backbone: bool = True
     lstm_layers: int = 1
+    frozen_bn_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, cue, video, train: bool = False):
-        vseq = VideoLSTMSeqEncoder(self.backbone, 256, self.freeze_backbone,
-                                   self.lstm_layers, dtype=self.dtype,
-                                   name="video_encoder")(video, train)
+    def __call__(self, cue, video, train: bool = False,
+                 cached_features: bool = False,
+                 return_frozen_features: bool = False):
+        enc = VideoLSTMSeqEncoder(self.backbone, 256, self.freeze_backbone,
+                                  self.lstm_layers, self.frozen_bn_eval,
+                                  dtype=self.dtype, name="video_encoder")
+        if return_frozen_features:
+            return enc(video, train, return_cnn_features=True)
+        vseq = enc(video, train, cached_features)
         c = nn.Dense(256, dtype=self.dtype, name="cue_proj")(cue)
         c = nn.relu(c)
         attended = SingleQueryAttention(256, dtype=self.dtype, name="attn")(c, vseq)
@@ -91,13 +108,19 @@ class MiddleAttentionFusion(nn.Module):
     backbone: str = "mobilenet_v2"
     freeze_backbone: bool = False
     lstm_layers: int = 1
+    frozen_bn_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, cue, video, train: bool = False):
-        vseq = VideoLSTMSeqEncoder(self.backbone, 256, self.freeze_backbone,
-                                   self.lstm_layers, dtype=self.dtype,
-                                   name="video_encoder")(video, train)
+    def __call__(self, cue, video, train: bool = False,
+                 cached_features: bool = False,
+                 return_frozen_features: bool = False):
+        enc = VideoLSTMSeqEncoder(self.backbone, 256, self.freeze_backbone,
+                                  self.lstm_layers, self.frozen_bn_eval,
+                                  dtype=self.dtype, name="video_encoder")
+        if return_frozen_features:
+            return enc(video, train, return_cnn_features=True)
+        vseq = enc(video, train, cached_features)
         c = nn.Dense(256, dtype=self.dtype, name="cue_fc")(cue)
         c = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          dtype=self.dtype, name="cue_bn")(c)
@@ -118,13 +141,19 @@ class LateAttentionFusion(nn.Module):
     backbone: str = "mobilenet_v2"
     freeze_backbone: bool = True
     lstm_layers: int = 1
+    frozen_bn_eval: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, cue, video, train: bool = False):
-        vseq = VideoLSTMSeqEncoder(self.backbone, 256, self.freeze_backbone,
-                                   self.lstm_layers, dtype=self.dtype,
-                                   name="video_encoder")(video, train)
+    def __call__(self, cue, video, train: bool = False,
+                 cached_features: bool = False,
+                 return_frozen_features: bool = False):
+        enc = VideoLSTMSeqEncoder(self.backbone, 256, self.freeze_backbone,
+                                  self.lstm_layers, self.frozen_bn_eval,
+                                  dtype=self.dtype, name="video_encoder")
+        if return_frozen_features:
+            return enc(video, train, return_cnn_features=True)
+        vseq = enc(video, train, cached_features)
         v_logits = nn.Dense(self.num_classes, dtype=self.dtype, name="video_head")(vseq[:, -1, :])
         c = nn.Dense(256, dtype=self.dtype, name="cue_fc1")(cue)
         c = nn.relu(c)
@@ -165,16 +194,22 @@ class MultimodalCueVideoNet(nn.Module):
         return nn.Dense(self.num_classes, dtype=self.dtype, name="classifier")(x)
 
 
-def get_cues_video_model(name: str, num_classes: int, dtype: Any = jnp.float32) -> nn.Module:
+def get_cues_video_model(name: str, num_classes: int, dtype: Any = jnp.float32,
+                         frozen_bn_eval: bool = False) -> nn.Module:
     # reference parity: mobile encoders = frozen MobileNet + 1-layer BiLSTM;
     # resnet encoders = trainable ResNet18 + 2-layer BiLSTM (see
-    # VideoLSTMSeqEncoder docstring for the file:line evidence)
+    # VideoLSTMSeqEncoder docstring for the file:line evidence).
+    # frozen_bn_eval pins the FROZEN backbone's BN to running stats (enables
+    # exact feature caching) — a no-op for the trainable-backbone variants.
     if name == "early_fusion_mobile":
-        return EarlyAttentionFusion(num_classes, "mobilenet_v2", True, 1, dtype=dtype)
+        return EarlyAttentionFusion(num_classes, "mobilenet_v2", True, 1,
+                                    frozen_bn_eval, dtype=dtype)
     if name == "middle_fusion_mobile":
-        return MiddleAttentionFusion(num_classes, "mobilenet_v2", True, 1, dtype=dtype)
+        return MiddleAttentionFusion(num_classes, "mobilenet_v2", True, 1,
+                                     frozen_bn_eval, dtype=dtype)
     if name == "late_fusion_mobile":
-        return LateAttentionFusion(num_classes, "mobilenet_v2", True, 1, dtype=dtype)
+        return LateAttentionFusion(num_classes, "mobilenet_v2", True, 1,
+                                   frozen_bn_eval, dtype=dtype)
     if name == "early_fusion_resnet":
         return EarlyAttentionFusion(num_classes, "resnet18", False, 2, dtype=dtype)
     if name == "middle_fusion_resnet":

@@ -130,6 +130,42 @@ def frame_signal(wave: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(padded, jnp.asarray(idx), axis=-1)
 
 
+# Framing-free formulation: materializing the (B, 126, 400) frame tensor
+# costs ~1.5 ms at B=128 on TPU — 80% of the whole op (the frames carry 2.5×
+# redundant data through lane-misaligned copies). Because hop (160) divides
+# the frame into block-aligned pieces (400 = 160 + 160 + 80), the windowed
+# DFT factors into THREE matmuls over hop-sized blocks of the padded wave:
+#     frame f = [blocks[f] | blocks[f+1] | blocks[f+2][:80]]
+#   ⇒ spec    = blocks[0:126] @ W[0:160]
+#             + blocks[1:127] @ W[160:320]
+#             + blocks[2:128, :80] @ W[320:400]
+# Same FLOPs, no gather, no frame tensor. Both the XLA path and the Pallas
+# kernel are built on this.
+N_BLOCKS = -(-(NUM_SAMPLES + 2 * PAD) // HOP_LENGTH)  # ceil(20400/160) = 128
+_BLOCK_PAD = N_BLOCKS * HOP_LENGTH - (NUM_SAMPLES + 2 * PAD)  # 80 zeros
+
+
+def block_signal(wave: jnp.ndarray) -> jnp.ndarray:
+    """Reflect-pad and view as hop blocks: (..., NUM_SAMPLES) → (..., N_BLOCKS, HOP)."""
+    lead = [(0, 0)] * (wave.ndim - 1)
+    padded = jnp.pad(wave, lead + [(PAD, PAD)], mode="reflect")
+    padded = jnp.pad(padded, lead + [(0, _BLOCK_PAD)])
+    return padded.reshape(wave.shape[:-1] + (N_BLOCKS, HOP_LENGTH))
+
+
+@functools.lru_cache(maxsize=None)
+def dft_basis_split() -> tuple:
+    """The windowed-DFT basis split at hop boundaries: rows [0:160),
+    [160:320), [320:400) of :func:`dft_basis` — the three per-block factors
+    of the framing-free formulation."""
+    basis = dft_basis()
+    return (
+        basis[:HOP_LENGTH],
+        basis[HOP_LENGTH : 2 * HOP_LENGTH],
+        basis[2 * HOP_LENGTH :],
+    )
+
+
 def _standardize(logmel: jnp.ndarray) -> jnp.ndarray:
     """Per-clip (x-μ)/(σ+eps) with unbiased std, over the last two axes."""
     n = logmel.shape[-1] * logmel.shape[-2]
@@ -140,12 +176,18 @@ def _standardize(logmel: jnp.ndarray) -> jnp.ndarray:
 
 
 def log_mel_xla(wave: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
-    """Pure-XLA log-mel: (B, NUM_SAMPLES) → (B, N_MELS, NUM_FRAMES) float32."""
-    frames = frame_signal(wave.astype(jnp.float32))  # (B, T, n_fft)
-    basis = jnp.asarray(dft_basis())
-    spec = jnp.einsum(
-        "btn,nf->btf", frames, basis,
-        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    """Pure-XLA log-mel: (B, NUM_SAMPLES) → (B, N_MELS, NUM_FRAMES) float32.
+
+    Framing-free split-GEMM formulation (see :func:`block_signal`): ~4×
+    faster than materializing frames on TPU (docs/PERFORMANCE.md)."""
+    blocks = block_signal(wave.astype(jnp.float32))  # (B, N_BLOCKS, HOP)
+    w0, w1, w2 = (jnp.asarray(w) for w in dft_basis_split())
+    t = NUM_FRAMES
+    kw = dict(preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST)
+    spec = (
+        jnp.einsum("bth,hf->btf", blocks[:, :t], w0, **kw)
+        + jnp.einsum("bth,hf->btf", blocks[:, 1 : t + 1], w1, **kw)
+        + jnp.einsum("bth,hf->btf", blocks[:, 2 : t + 2, : N_FFT - 2 * HOP_LENGTH], w2, **kw)
     )
     re, im = spec[..., :FREQ_PAD], spec[..., FREQ_PAD:]
     power = re * re + im * im  # (B, T, FREQ_PAD); cols >= N_FREQS are 0
@@ -158,13 +200,46 @@ def log_mel_xla(wave: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
     return _standardize(logmel) if normalize else logmel
 
 
+def log_mel_fft(wave: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
+    """rfft-based log-mel: (B, NUM_SAMPLES) → (B, N_MELS, NUM_FRAMES) float32.
+
+    The windowed-DFT-as-GEMM formulation is PRECISION-bound on the MXU: the
+    power-spectrum cancellation at spectral nulls forces
+    ``Precision.HIGHEST`` (6-pass bf16), so the matmul runs at ~1/6 of peak
+    (docs/PERFORMANCE.md "Log-mel frontend"). A real FFT sidesteps that
+    entirely — ~24× fewer FLOPs (5·N·log₂N vs 2·N·512 per frame) and XLA's
+    TPU FFT runs in f32, so there is no bf16 cancellation to begin with.
+    Numerics match the GEMM path to <1e-5 in log space.
+    """
+    frames = frame_signal(wave.astype(jnp.float32))  # (B, T, n_fft)
+    w = hann_window()
+    w = w / np.sqrt(np.sum(w**2))  # normalized=True folded into the window
+    spec = jnp.fft.rfft(frames * jnp.asarray(w, jnp.float32), axis=-1)
+    power = jnp.real(spec) ** 2 + jnp.imag(spec) ** 2  # (B, T, N_FREQS)
+    fb = jnp.asarray(mel_filterbank())
+    mel = jnp.einsum(
+        "btf,fm->bmt", power, fb,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    logmel = jnp.log(mel + LOG_EPS)
+    return _standardize(logmel) if normalize else logmel
+
+
 def log_mel(wave: jnp.ndarray, normalize: bool = True, impl: str = "auto") -> jnp.ndarray:
     """Log-mel frontend: (B, 20000) waveforms → (B, 80, 126) spectrograms.
 
-    impl: 'pallas' (fused TPU kernel), 'xla', or 'auto' (pallas on TPU).
+    impl: 'auto', 'xla' (framing-free split-GEMM), 'pallas' (fused per-clip
+    TPU kernel on the same formulation), or 'fft' (rfft power spectrum).
+    'auto' selects 'xla' — the split-GEMM measured fastest
+    (docs/PERFORMANCE.md "Log-mel frontend"): frame materialization, not
+    the GEMM, dominated the old formulation; XLA's TPU FFT is slower than
+    the HIGHEST-precision matmuls despite ~24× fewer FLOPs. The Pallas
+    kernel and FFT path are kept as documented measured alternatives.
     """
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "xla"
+    if impl == "fft":
+        return log_mel_fft(wave, normalize=normalize)
     if impl == "pallas":
         from multimodal_lipread_tpu.ops.logmel_pallas import log_mel_pallas
 

@@ -14,6 +14,7 @@ shuffled val/test loaders (audio/train.py:113-114) don't change metrics
 
 from __future__ import annotations
 
+import os
 from typing import Any, Dict
 
 from multimodal_lipread_tpu.config import Config
@@ -59,10 +60,31 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
         index = scan_glips(root_dir, exts=AUDIO_EXTS)
         if cfg.get("dataset.loader_backend", "grain") == "native":
             # C++ thread-pool prefetcher (native/mlt_io.cpp): in-process, no
-            # multiprocessing spawn, PCM16 WAV only (m4a needs grain+ffmpeg)
+            # multiprocessing spawn, PCM16 WAV only. Real GLips ships .m4a
+            # (reference: audio/data_utils/dataset.py:29-37) — those are
+            # transcoded ONCE into a WAV mirror (same ffmpeg decode pipeline
+            # as the grain path, tools/transcode.py) and then streamed
+            # natively at ~1 ms/clip instead of an ffmpeg spawn per epoch.
+            entries_by_split = {s: index.by_split(s) for s in SPLITS}
+            if any(
+                not e.path.lower().endswith(".wav")
+                for es in entries_by_split.values() for e in es
+            ):
+                from multimodal_lipread_tpu.tools.transcode import ensure_wav_mirror
+
+                wav_cache = cfg.get(
+                    "dataset.wav_cache_dir", os.path.join(root_dir, "wav_cache")
+                )
+                entries_by_split = {
+                    s: ensure_wav_mirror(
+                        es, wav_cache,
+                        workers=cfg.get("dataset.num_workers", 0) or 8,
+                    )
+                    for s, es in entries_by_split.items()
+                }
             datasets = {
                 split: NativeStreamingDataset(
-                    index.by_split(split), index.class_to_idx,
+                    entries_by_split[split], index.class_to_idx,
                     kind="wav", record_shape=(20000,),
                     seed=cfg.get("training.seed", 0),
                     n_threads=cfg.get("dataset.num_workers", 0) or None,

@@ -104,8 +104,19 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     metrics_dir, ckpt_dir = default_dirs(cfg, "audio_cues_video")
     metrics_dir = cfg.get("train.metrics_dir", metrics_dir)
     ckpt_dir = cfg.get("train.save_dir", ckpt_dir)
+    # frozen-feature caching: precompute the frozen audio-ResNet + video-CNN
+    # outputs once and train only the trainable tail — requires
+    # frozen_bn_eval (deterministic frozen encoders); only meaningful for
+    # the variants with frozen encoders
+    cache_frozen = bool(
+        cfg.get("training.cache_frozen_features", cfg.get("train.cache_frozen_features", False))
+    ) and model_name in FROZEN_PARAM_PREFIXES
+    frozen_bn_eval = cache_frozen or bool(
+        cfg.get("training.frozen_bn_eval", cfg.get("train.frozen_bn_eval", False))
+    )
     trainer = Trainer(
-        get_triple_model(model_name, num_classes, dtype=model_dtype(cfg)),
+        get_triple_model(model_name, num_classes, dtype=model_dtype(cfg),
+                         frozen_bn_eval=frozen_bn_eval),
         TrainerConfig(
             model_name=model_name,
             num_classes=num_classes,
@@ -130,6 +141,15 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     )
     trainer.init_state(datasets["train"].inputs)
     load_pretrained_backbones(trainer, cfg)
+    if cache_frozen:
+        from multimodal_lipread_tpu.train.frozen_cache import cached_dataset
+
+        # model returns (audio_feat, video_cnn_seq); cue stays raw
+        datasets = {
+            k: cached_dataset(trainer, v, lambda raw, f: (f[0], raw[1], f[1]))
+            for k, v in datasets.items()
+        }
+        trainer.set_apply_kwargs(cached_features=True)
     result = trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
     maybe_plot(cfg, metrics_dir)
     return result

@@ -50,6 +50,16 @@ def load_cue_video_datasets(
         entries = [e for e in lip_index.by_split(split) if e.key in cue_map]
         if not entries:
             raise RuntimeError(f"No aligned cue+video samples for split '{split}'")
+        uncovered = sorted({e.word for e in entries} - set(class_to_idx))
+        if uncovered:
+            # a val/test word whose train split has no cue coverage cannot be
+            # encoded — the reference's LabelEncoder (cues_video/train.py:68-72,
+            # fitted on train words only) fails on such labels too; name the
+            # words instead of dying with a bare KeyError
+            raise ValueError(
+                f"split '{split}' has words with no train-split cue coverage "
+                f"(absent from the fitted class set): {uncovered}"
+            )
         lips = load_lip_sequences([e.path for e in entries])
         cues = embed_cached([cue_map[e.key].description for e in entries],
                             model=embed_model, cache_dir=cache_dir)
@@ -86,8 +96,18 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     metrics_dir, ckpt_dir = default_dirs(cfg, "cues_video")
     metrics_dir = cfg.get("train.metrics_dir", metrics_dir)
     ckpt_dir = cfg.get("train.save_dir", ckpt_dir)
+    # frozen-feature caching: precompute the frozen MobileNet per-frame
+    # features once; only the BiLSTM + fusion tail trains (see
+    # train/frozen_cache.py). Requires frozen_bn_eval for determinism.
+    cache_frozen = bool(
+        cfg.get("training.cache_frozen_features", cfg.get("train.cache_frozen_features", False))
+    ) and model_name in FROZEN_PARAM_PREFIXES
+    frozen_bn_eval = cache_frozen or bool(
+        cfg.get("training.frozen_bn_eval", cfg.get("train.frozen_bn_eval", False))
+    )
     trainer = Trainer(
-        get_cues_video_model(model_name, num_classes, dtype=model_dtype(cfg)),
+        get_cues_video_model(model_name, num_classes, dtype=model_dtype(cfg),
+                             frozen_bn_eval=frozen_bn_eval),
         TrainerConfig(
             model_name=model_name,
             num_classes=num_classes,
@@ -111,6 +131,15 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     )
     trainer.init_state(datasets["train"].inputs)
     load_pretrained_backbones(trainer, cfg)
+    if cache_frozen:
+        from multimodal_lipread_tpu.train.frozen_cache import cached_dataset
+
+        # model returns the video CNN feature seq; cue stays raw
+        datasets = {
+            k: cached_dataset(trainer, v, lambda raw, f: (raw[0], f[0]))
+            for k, v in datasets.items()
+        }
+        trainer.set_apply_kwargs(cached_features=True)
     result = trainer.fit(datasets["train"], datasets["val"], datasets["test"], resume=resume)
     maybe_plot(cfg, metrics_dir)
     return result

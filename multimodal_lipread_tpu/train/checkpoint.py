@@ -32,7 +32,10 @@ def save_checkpoint(path: str, tree: Dict[str, Any]) -> None:
     """Serialize a checkpoint pytree to ``path`` (atomic rename)."""
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     data = serialization.to_bytes(_to_host(tree))
-    tmp = path + ".tmp"
+    # pid-unique staging name: on a SHARED filesystem two hosts of a
+    # multi-process run save the same (replicated, identical) checkpoint
+    # concurrently — a common tmp name would interleave their writes
+    tmp = f"{path}.tmp.{os.getpid()}"
     with open(tmp, "wb") as f:
         f.write(data)
     os.replace(tmp, path)

@@ -137,6 +137,48 @@ class EpochMetrics:
     acc: float  # percent, like the reference logs
 
 
+class _AsyncMetrics:
+    """Per-batch metric accumulator with a bounded fetch lookahead.
+
+    ``float(device_scalar)`` after every step makes the host WAIT for that
+    step — serializing the next batch's host→device copy behind the current
+    step's compute. Holding the device scalars in a small window and
+    fetching them ``depth`` steps late keeps the host dispatching ahead (the
+    H2D copy of batch k+1 overlaps step k on device) while still providing
+    backpressure: at most ``depth`` in-flight batches hold HBM.
+    """
+
+    def __init__(self, depth: int = 2):
+        from collections import deque
+
+        self.depth = depth
+        self.pending: Any = deque()
+        self.loss_sum = 0.0
+        self.correct = 0.0
+        self.count = 0.0
+        self.wsum = 0.0
+
+    def push(self, l, c, n, w) -> None:
+        self.pending.append((l, c, n, w))
+        if len(self.pending) > self.depth:
+            self._drain_one()
+
+    def _drain_one(self) -> None:
+        l, c, n, w = self.pending.popleft()
+        self.loss_sum += float(l)
+        self.correct += float(c)
+        self.count += float(n)
+        self.wsum += float(w)
+
+    def result(self) -> EpochMetrics:
+        while self.pending:
+            self._drain_one()
+        return EpochMetrics(
+            loss=self.loss_sum / max(self.wsum, 1e-9),
+            acc=100.0 * self.correct / max(self.count, 1),
+        )
+
+
 def _enable_compile_cache() -> None:
     """Point XLA's persistent compilation cache at a user-level directory.
 
@@ -146,7 +188,8 @@ def _enable_compile_cache() -> None:
     """
     import jax
 
-    if jax.config.jax_compilation_cache_dir is not None:
+    # getattr: on a jax without the knob this must be a no-op, not a crash
+    if getattr(jax.config, "jax_compilation_cache_dir", None) is not None:
         return  # user already configured one
     path = os.environ.get(
         "MLT_COMPILE_CACHE",
@@ -281,6 +324,20 @@ class Trainer:
             self.init_state(ds.inputs)
         else:
             self.init_state(ds.example_inputs(self.n_devices))
+
+    def set_apply_kwargs(self, **kwargs) -> None:
+        """Update the extra kwargs passed to every ``model.apply`` (e.g.
+        ``cached_features=True`` after frozen-feature precomputation).
+
+        Must be called before the step functions compile — typically after
+        ``init_state``/pretrained loading and before ``fit``.
+        """
+        if self._compiled:
+            raise RuntimeError(
+                "set_apply_kwargs after the step functions compiled — the "
+                "change would silently not apply"
+            )
+        self._apply_train_kwargs.update(kwargs)
 
     # ------------------------------------------------------------ step fns
 
@@ -570,10 +627,7 @@ class Trainer:
     def train_epoch(
         self, ds: Any, rng: np.random.Generator, base_rng, epoch: int = 0
     ) -> EpochMetrics:
-        loss_sum = 0.0
-        correct = 0.0
-        count = 0.0
-        wsum = 0.0
+        acc = _AsyncMetrics()
         if isinstance(ds, ArrayDataset) and self.config.device_resident:
             data, labels_all = self._device_dataset(ds)
             for idx, weights in self._index_batches(ds, shuffle=True, rng=rng):
@@ -589,13 +643,8 @@ class Trainer:
                     self.state, data, labels_all, idx, weights, base_rng
                 )
                 self._global_step += 1
-                loss_sum += float(l)
-                correct += float(c)
-                count += float(n)
-                wsum += float(w)
-            return EpochMetrics(
-                loss=loss_sum / max(wsum, 1e-9), acc=100.0 * correct / max(count, 1)
-            )
+                acc.push(l, c, n, w)
+            return acc.result()
         if isinstance(ds, ArrayDataset):
             batches = self._batches(ds, shuffle=True, rng=rng)
         else:  # StreamingDataset (grain-backed host loading)
@@ -607,19 +656,13 @@ class Trainer:
                 self._set_lr(self._lr_step_fn(self._global_step))
             self.state, l, c, n, w = self._train_step(self.state, inputs, labels, weights, base_rng)
             self._global_step += 1
-            loss_sum += float(l)
-            correct += float(c)
-            count += float(n)
-            wsum += float(w)
-        return EpochMetrics(loss=loss_sum / max(wsum, 1e-9), acc=100.0 * correct / max(count, 1))
+            acc.push(l, c, n, w)
+        return acc.result()
 
     def evaluate(self, ds: Any, params=None, batch_stats=None) -> EpochMetrics:
         params = self.state["params"] if params is None else params
         batch_stats = self.state["batch_stats"] if batch_stats is None else batch_stats
-        loss_sum = 0.0
-        correct = 0.0
-        count = 0.0
-        wsum = 0.0
+        acc = _AsyncMetrics()
         rng = np.random.default_rng(0)
         if isinstance(ds, ArrayDataset) and self.config.device_resident:
             data, labels_all = self._device_dataset(ds)
@@ -627,24 +670,16 @@ class Trainer:
                 l, c, n, w = self._eval_step_idx(
                     params, batch_stats, data, labels_all, idx, weights
                 )
-                loss_sum += float(l)
-                correct += float(c)
-                count += float(n)
-                wsum += float(w)
-            return EpochMetrics(
-                loss=loss_sum / max(wsum, 1e-9), acc=100.0 * correct / max(count, 1)
-            )
+                acc.push(l, c, n, w)
+            return acc.result()
         if isinstance(ds, ArrayDataset):
             batches = self._batches(ds, shuffle=False, rng=rng)
         else:
             batches = self._stream_batches(ds, epoch=0, shuffle=False)
         for inputs, labels, weights in batches:
             l, c, n, w = self._eval_step(params, batch_stats, inputs, labels, weights)
-            loss_sum += float(l)
-            correct += float(c)
-            count += float(n)
-            wsum += float(w)
-        return EpochMetrics(loss=loss_sum / max(wsum, 1e-9), acc=100.0 * correct / max(count, 1))
+            acc.push(l, c, n, w)
+        return acc.result()
 
     # ------------------------------------------------------------ orchestration
 
@@ -752,16 +787,21 @@ class Trainer:
             # torch get_linear_schedule_with_warmup over the whole run;
             # stepped per batch AFTER the optimizer step (factor(0)=0 ⇒ the
             # first step trains at lr 0, like torch LambdaLR)
-            # len() of a streaming dataset is PER-SHARD, and its per-step
-            # batch is batch_size/process_count — using the global batch
-            # there would undercount total steps by process_count× and decay
-            # the LR to 0 early
-            denom = (
-                self.batch_size
-                if isinstance(train_ds, ArrayDataset)
-                else max(1, self.batch_size // jax.process_count())
-            )
-            steps_per_epoch = max(1, -(-len(train_ds) // denom))
+            if isinstance(train_ds, ArrayDataset):
+                steps_per_epoch = max(1, -(-len(train_ds) // self.batch_size))
+            else:
+                # streaming: every host must derive the IDENTICAL schedule.
+                # len() of a streaming dataset is the PER-HOST shard length,
+                # and ceil-split shards can differ by one record near a batch
+                # boundary — so compute steps from global_batches(), the same
+                # collective step count the weight-0 padding path aligns to
+                # (otherwise hosts apply different LR scalars at the same
+                # collective step and replicated params silently diverge).
+                per_host = max(1, self.batch_size // jax.process_count())
+                if hasattr(train_ds, "global_batches"):
+                    steps_per_epoch = max(1, int(train_ds.global_batches(per_host)))
+                else:
+                    steps_per_epoch = max(1, -(-len(train_ds) // per_host))
             total = steps_per_epoch * cfg.epochs
             warmup = int(cfg.warmup_proportion * total)
             base_lr = cfg.learning_rate
@@ -812,8 +852,18 @@ class Trainer:
         base_rng = jax.random.PRNGKey(cfg.seed + 1)
         history: List[Dict[str, float]] = []
 
+        boundary_state = None
         for epoch in range(start_epoch, cfg.epochs + 1):
             t0 = time.time()
+            if cfg.handle_preemption:
+                # host snapshot of the epoch-BOUNDARY state: the preemption
+                # save below is labeled epoch-1 and --resume REPLAYS the
+                # interrupted epoch, so it must not contain that epoch's
+                # partial optimizer updates (replaying early batches on
+                # already-advanced params/Adam moments would deviate from an
+                # uninterrupted run). One D2H gather per epoch, paid only
+                # when preemption handling is enabled.
+                boundary_state = jax.tree_util.tree_map(np.asarray, self.state)
             tracing = cfg.profile_dir is not None and epoch == start_epoch
             if tracing:
                 jax.profiler.start_trace(cfg.profile_dir)
@@ -831,10 +881,13 @@ class Trainer:
                 self._preempted = bool(np.asarray(flags).max())
             if self._preempted:
                 # attribute the save to the last COMPLETED epoch: --resume
-                # replays the interrupted one from its start
+                # replays the interrupted one from its start, from the
+                # epoch-boundary state snapshot (EXACT replay — scheduler and
+                # best_val_acc are only mutated at epoch end, so their current
+                # values already equal the boundary values)
                 ckpt = {
                     "epoch": epoch - 1,
-                    "state": jax.tree_util.tree_map(np.asarray, self.state),
+                    "state": boundary_state,
                     "val_acc": float(best_val_acc),
                     "scheduler_lr": float(self.scheduler.lr),
                     "scheduler_best": float(
