@@ -193,18 +193,290 @@ def predict_audio_clips(
     return results
 
 
+PIPELINES = (
+    "audio", "video", "audio_video", "cues", "audio_cues", "cues_video",
+    "audio_cues_video",
+)
+
+# per-pipeline (input modalities, model input order); modality codes:
+# 'a' = audio clip path, 'v' = lip-region .npy path, 'c' = cue text file
+_PIPELINE_INPUTS = {
+    "audio": "a",
+    "video": "v",
+    "audio_video": "av",
+    "cues": "c",
+    "audio_cues": "ac",
+    "cues_video": "cv",
+    "audio_cues_video": "acv",
+}
+
+
+def build_model(pipeline: str, config: Any):
+    """Rebuild the model EXACTLY as the pipeline's training entry did —
+    a mismatched knob changes the param tree and the restore fails."""
+    from multimodal_lipread_tpu.pipelines.common import model_dtype
+
+    num_classes = config.get("dataset.num_classes", 4)
+    dtype = model_dtype(config)
+    if pipeline == "audio":
+        raise ValueError("audio uses predict_audio_clips (streaming-aware)")
+    if pipeline == "video":
+        from multimodal_lipread_tpu.models.video import get_video_model
+
+        return get_video_model(
+            config.get("model.name", "resnet_lstm"), num_classes, dtype=dtype,
+            resnet_version=config.get("model.resnet_version", 18),
+            shufflenet_version=config.get("model.shufflenet_version", "0.5x"),
+            feature_dim=config.get("model.feature_dim"),
+            dropout=config.get("model.dropout"),
+        )
+    if pipeline == "audio_video":
+        from multimodal_lipread_tpu.models.audio_video import get_av_model
+
+        return get_av_model(
+            config.get("model.name", "middle_fusion_mobilenet"), num_classes, dtype=dtype
+        )
+    if pipeline == "cues":
+        from multimodal_lipread_tpu.models.cues import get_cue_model
+
+        return get_cue_model(
+            config.get("model.name", "dense_nn"), num_classes, dtype=dtype,
+            bert_size=config.get("model.bert_size", "tiny"),
+        )
+    if pipeline == "audio_cues":
+        from multimodal_lipread_tpu.models.audio_cues import get_audio_cues_model
+
+        return get_audio_cues_model(
+            config.get("model.name", "middle_fusion_mobile"), num_classes, dtype=dtype
+        )
+    if pipeline == "cues_video":
+        from multimodal_lipread_tpu.models.cues_video import get_cues_video_model
+
+        name = config.get("train.model_name") or config.get("model.name") or "middle_fusion_mobile"
+        return get_cues_video_model(name, num_classes, dtype=dtype)
+    if pipeline == "audio_cues_video":
+        from multimodal_lipread_tpu.models.audio_cues_video import get_triple_model
+
+        name = config.get("train.model_name") or config.get("model.name") or "late_fusion_mobile"
+        return get_triple_model(name, num_classes, dtype=dtype)
+    raise ValueError(f"unknown pipeline '{pipeline}' (one of {PIPELINES})")
+
+
+def _featurize_modalities(pipeline: str, config: Any, groups: Sequence[Sequence[str]]):
+    """Per-clip file groups → the pipeline's model-input arrays.
+
+    Each group lists one path per modality in the pipeline's canonical order
+    (see ``_PIPELINE_INPUTS``): audio clip, lip-region ``.npy``, and/or a
+    text file holding the cue description. Featurization is EXACTLY the
+    training pipelines': host decode + device log-mel for audio, raw uint8
+    lips (device-normalized in the predictor), cached sentence embeddings
+    for cues (reference featurization: audio/utils/audio_processor.py,
+    video/data_utils/dataset_loader.py:84-94, audio_cues/data_utils/
+    dataset.py:105-122)."""
+    codes = _PIPELINE_INPUTS[pipeline]
+    for g in groups:
+        if len(g) != len(codes):
+            raise ValueError(
+                f"pipeline '{pipeline}' needs {len(codes)} files per clip "
+                f"({','.join(codes)}: a=audio, v=lips .npy, c=cue text); got {g}"
+            )
+    inputs: List[np.ndarray] = []
+    for i, code in enumerate(codes):
+        paths = [g[i] for g in groups]
+        if code == "a":
+            from multimodal_lipread_tpu.pipelines.common import (
+                compute_logmel_features,
+                decode_waveforms,
+            )
+
+            mels = compute_logmel_features(
+                decode_waveforms(paths),
+                input_size=config.get("dataset.input_size", 117),
+            )
+            inputs.append(mels)
+        elif code == "v":
+            lips = np.stack([np.load(p) for p in paths])
+            if lips.dtype != np.uint8:
+                lips = np.clip(lips * 255.0 if lips.max() <= 1.0 else lips, 0, 255).astype(np.uint8)
+            inputs.append(lips)
+        else:  # cue text file → embedding (or tokens for token-level models)
+            texts = []
+            for p in paths:
+                with open(p, "r", encoding="utf-8") as f:
+                    texts.append(f.read().strip())
+            if pipeline == "cues":
+                # mirror the cue classifier's featurization kind exactly
+                from multimodal_lipread_tpu.models.cues import CUE_MODEL_SPECS
+                from multimodal_lipread_tpu.pipelines.cues import _featurize
+
+                name = config.get("model.name", "dense_nn")
+                kind = CUE_MODEL_SPECS[name][1]
+                if kind == "tfidf":
+                    raise ValueError(
+                        "the 'linear' (TF-IDF) cue model fits its vectorizer "
+                        "on the training corpus and cannot be served from a "
+                        "checkpoint alone — use an embedding-based cue model"
+                    )
+
+                class _R:  # duck-typed CueRecord
+                    def __init__(self, d):
+                        self.description = d
+
+                feats = _featurize([_R(t) for t in texts], kind,
+                                   config.get("dataset.cache_dir"))
+                inputs.append(np.asarray(feats))
+            else:
+                from multimodal_lipread_tpu.data.cues import embed_cached
+
+                inputs.append(
+                    embed_cached(
+                        texts,
+                        model=config.get("dataset.embed_model", "mpnet"),
+                        cache_dir=config.get("dataset.cache_dir"),
+                    )
+                )
+    return tuple(inputs)
+
+
+def _class_names(config: Any) -> Optional[List[str]]:
+    """Best-effort class names: the sorted word list of the dataset root
+    (every pipeline's label space is the sorted word set; cues_video can
+    restrict it further — callers needing exactness should set
+    dataset.num_classes and map indices themselves)."""
+    root = config.get("dataset.root_dir")
+    if not root:
+        return None
+    from multimodal_lipread_tpu.data.glips import AUDIO_EXTS, scan_glips
+
+    for exts in (AUDIO_EXTS, (".npy",)):
+        try:
+            classes = scan_glips(root, exts=exts).classes
+            if classes:
+                return classes
+        except (FileNotFoundError, RuntimeError):
+            continue
+    return None
+
+
+def predict_clips(
+    config: Any,
+    ckpt_path: str,
+    pipeline: str,
+    groups: Sequence[Sequence[str]],
+    batch_size: int = 32,
+) -> List[Dict[str, Any]]:
+    """End-to-end inference for ANY pipeline: per-clip file groups →
+    featurize → classify. See ``_featurize_modalities`` for group format."""
+    if pipeline == "audio":
+        return predict_audio_clips(
+            config, ckpt_path, [g[0] for g in groups], batch_size
+        )
+    model = build_model(pipeline, config)
+    inputs = _featurize_modalities(pipeline, config, groups)
+    predictor = Predictor.from_checkpoint(
+        model, ckpt_path, tuple(a[:1] for a in inputs), batch_size
+    )
+    logits = predictor.predict_logits(*inputs)
+    preds = np.argmax(logits, axis=-1)
+    classes = _class_names(config)
+    return [
+        {
+            "paths": list(g),
+            "prediction": int(p),
+            "word": classes[int(p)] if classes and int(p) < len(classes) else None,
+            "logits": [float(x) for x in l],
+        }
+        for g, p, l in zip(groups, preds, logits)
+    ]
+
+
+def export_pipeline_stablehlo(
+    config: Any, ckpt_path: str, pipeline: str, out_path: str, batch_size: int = 32
+) -> None:
+    """Serialize a checkpoint's fixed-batch inference fn to StableHLO bytes
+    on disk (reload anywhere with ``jax.export.deserialize``)."""
+    if pipeline == "audio":
+        from multimodal_lipread_tpu.models.audio import get_audio_model
+        from multimodal_lipread_tpu.pipelines.common import model_dtype
+
+        model = get_audio_model(
+            config.get("model.name", "resnet"), config.get("dataset.num_classes", 4),
+            input_size=config.get("dataset.input_size", 117),
+            version=config.get("model.version", 16),
+            use_batchnorm=config.get("model.use_batchnorm", True),
+            dtype=model_dtype(config),
+        )
+        example = (np.zeros((batch_size, 80, config.get("dataset.input_size", 117)), np.float32),)
+    else:
+        model = build_model(pipeline, config)
+        example = _example_inputs(pipeline, config, batch_size)
+    predictor = Predictor.from_checkpoint(model, ckpt_path, tuple(a[:1] for a in example))
+    # export the float-input graph (uint8 lips are normalized host-side by
+    # the caller of a serialized module; keeps the exported IO contract f32)
+    example_f = tuple(
+        a.astype(np.float32) / 255.0 if a.dtype == np.uint8 else a for a in example
+    )
+    data = export_stablehlo(model, predictor.variables, example_f)
+    with open(out_path, "wb") as f:
+        f.write(data)
+
+
+def _example_inputs(pipeline: str, config: Any, batch: int):
+    input_size = config.get("dataset.input_size", 117)
+    cue_dim = {"minilm": 384}.get(config.get("dataset.embed_model", "mpnet"), 768)
+    seq = config.get("dataset.sequence_length", 29)
+    mel = np.zeros((batch, 80, input_size), np.float32)
+    lips = np.zeros((batch, seq, 44, 44, 3), np.uint8)
+    cue = np.zeros((batch, cue_dim), np.float32)
+    return {
+        "video": (lips,),
+        "audio_video": (mel, lips),
+        "cues": (cue,),
+        "audio_cues": (mel, cue),
+        "cues_video": (cue, lips),
+        "audio_cues_video": (mel, cue, lips),
+    }[pipeline]
+
+
 def main():
     import argparse
     import json
 
     from multimodal_lipread_tpu.config import load_config
 
-    parser = argparse.ArgumentParser(description="Classify audio clips with a trained checkpoint")
+    parser = argparse.ArgumentParser(
+        description="Serve ANY pipeline's trained checkpoint: classify clips "
+        "or export the inference graph to StableHLO",
+    )
+    parser.add_argument(
+        "--pipeline", default="audio", choices=PIPELINES,
+        help="which pipeline's checkpoint/featurization to use",
+    )
     parser.add_argument("--config", required=True)
     parser.add_argument("--checkpoint", required=True)
-    parser.add_argument("clips", nargs="+")
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument(
+        "--export", metavar="PATH.stablehlo",
+        help="instead of classifying, serialize the inference fn to PATH",
+    )
+    parser.add_argument(
+        "clips", nargs="*",
+        help="per-clip inputs; multi-modal pipelines take comma-separated "
+        "groups, e.g. 'clip.wav,cue.txt,lips.npy' (order: audio, cue, lips "
+        "as applicable)",
+    )
     args = parser.parse_args()
-    results = predict_audio_clips(load_config(args.config), args.checkpoint, args.clips)
+    config = load_config(args.config)
+    if args.export:
+        export_pipeline_stablehlo(
+            config, args.checkpoint, args.pipeline, args.export, args.batch_size
+        )
+        print(json.dumps({"exported": args.export, "pipeline": args.pipeline}))
+        return
+    if not args.clips:
+        parser.error("no clips given (and no --export)")
+    groups = [c.split(",") for c in args.clips]
+    results = predict_clips(config, args.checkpoint, args.pipeline, groups, args.batch_size)
     print(json.dumps(results, indent=2))
 
 
