@@ -1,0 +1,196 @@
+"""Non-saturating benchmark sweep over all 7 pipelines.
+
+Builds a reference-scale synthetic GLips corpus with ``hardness`` > 0
+(class overlap + speaker/lighting nuisance + ambiguous cues + label noise —
+data/synthetic.py) and trains each pipeline's BASELINE-best model on it.
+This is the closest available proxy for reference-scale training dynamics
+in a zero-egress image (REALDATA.md): it verifies
+
+- model-family ORDERING is sane (audio strongest unimodal, video weakest,
+  fusion >= its components — the BASELINE.md pattern), and
+- plateau-LR reductions actually fire mid-run (the logs record lr).
+
+Usage:  python experiments/hard_sweep.py [--clips 200] [--hardness 0.6]
+        [--epochs-scale 1.0] [--out experiments/hard_sweep] [--quick]
+Writes each run's CSV/TXT logs + a summary.json under --out.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def parse_hardness(spec):
+    try:
+        return float(spec)
+    except ValueError:
+        return {k: float(v) for k, v in (kv.split("=") for kv in spec.split(","))}
+
+
+def build_corpus(root: str, clips: int, hardness, label_noise: float, seed: int):
+    from multimodal_lipread_tpu.data.synthetic import DEFAULT_WORDS, make_synthetic_glips
+
+    if not os.path.exists(os.path.join(root, "lipread_files")):
+        t0 = time.time()
+        make_synthetic_glips(
+            root, words=DEFAULT_WORDS, clips_per_split=clips, seed=seed,
+            hardness=hardness, label_noise=label_noise,
+        )
+        print(f"corpus built in {time.time() - t0:.1f}s: {root}", flush=True)
+    return root
+
+
+def run_pipeline(name: str, cfg_dict: dict, out_dir: str):
+    """Run one pipeline main() and return (final_test_acc, history)."""
+    import importlib
+
+    from multimodal_lipread_tpu.config import Config
+
+    mod = importlib.import_module(f"multimodal_lipread_tpu.pipelines.{name}")
+    t0 = time.time()
+    result = mod.main(Config.from_dict(cfg_dict))
+    dt = time.time() - t0
+    acc = result.get("final_test_acc")
+    if acc is None:  # cues logs val-only, like the reference
+        acc = max(h["val_acc"] for h in result["history"])
+    lrs = [h.get("lr") for h in result["history"]]
+    reduced = len({round(l, 10) for l in lrs if l is not None}) > 1
+    print(
+        f"[{name}:{cfg_dict['model']['name']}] test/val acc {acc:.2f}% "
+        f"({dt:.0f}s, lr reduced: {reduced})",
+        flush=True,
+    )
+    return {
+        "pipeline": name,
+        "model": cfg_dict["model"]["name"],
+        "acc": acc,
+        "seconds": round(dt, 1),
+        "lr_reduced": reduced,
+        "epochs": len(result["history"]),
+        "history": result["history"],
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--clips", type=int, default=200, help="clips per word per split")
+    ap.add_argument(
+        "--hardness", default="audio=0.3,video=0.5,cues=0.7",
+        help="float, or per-modality 'audio=0.3,video=0.5,cues=0.7' "
+        "(calibrated to the BASELINE.md accuracy ordering)",
+    )
+    ap.add_argument("--label-noise", type=float, default=0.05)
+    ap.add_argument("--seed", type=int, default=11)
+    ap.add_argument("--epochs-scale", type=float, default=1.0)
+    ap.add_argument("--corpus", default="/tmp/hardsynth/GLips_4")
+    ap.add_argument("--out", default=os.path.join(REPO, "experiments", "hard_sweep"))
+    ap.add_argument("--only", nargs="*", help="subset of pipeline names")
+    args = ap.parse_args()
+
+    hardness = parse_hardness(args.hardness)
+    root = build_corpus(args.corpus, args.clips, hardness, args.label_noise, args.seed)
+    cache = "/tmp/hardsynth/cue_cache"
+    os.makedirs(args.out, exist_ok=True)
+
+    def E(n):  # epochs, scaled
+        return max(2, int(round(n * args.epochs_scale)))
+
+    base_train = {"batch_size": 128, "seed": 0}
+    dataset = {"root_dir": root, "cue_root": root, "input_size": 117,
+               "cue_mode": "emotion", "embed_model": "mpnet",
+               "cache_dir": cache, "num_classes": 4}
+
+    # pipeline → (model under test, config). Models: each pipeline's
+    # BASELINE-best (BASELINE.md highlights) + the conformer extensions.
+    runs = [
+        ("audio", "vgg_lstm", {
+            "dataset": dataset, "model": {"name": "vgg_lstm", "version": 16, "dtype": "bfloat16"},
+            "training": {**base_train, "learning_rate": 5e-4, "weight_decay": 1e-4,
+                         "epochs": E(15)},
+        }),
+        ("audio", "conformer", {
+            "dataset": dataset, "model": {"name": "conformer", "dtype": "bfloat16"},
+            "training": {**base_train, "learning_rate": 5e-4, "weight_decay": 1e-4,
+                         "epochs": E(15)},
+        }),
+        ("video", "resnet_trans", {
+            "dataset": dataset, "model": {"name": "resnet_trans", "dtype": "bfloat16"},
+            "training": {**base_train, "learning_rate": 5e-5, "weight_decay": 1e-5,
+                         "epochs": E(12)},
+        }),
+        ("video", "conformer", {
+            "dataset": dataset, "model": {"name": "conformer", "dtype": "bfloat16"},
+            "training": {**base_train, "learning_rate": 1e-4, "weight_decay": 1e-5,
+                         "epochs": E(12)},
+        }),
+        ("audio_video", "middle_fusion_mobilenet", {
+            "dataset": dataset, "model": {"name": "middle_fusion_mobilenet", "dtype": "bfloat16"},
+            "training": {**base_train, "learning_rate": 1e-4, "epochs": E(12)},
+        }),
+        ("cues", "multi_attn", {
+            "dataset": dataset, "model": {"name": "multi_attn"},
+            "training": {**base_train, "batch_size": 64, "learning_rate": 1e-3,
+                         "epochs": E(15)},
+        }),
+        ("audio_cues", "middle_fusion_mobile", {
+            "dataset": dataset, "model": {"name": "middle_fusion_mobile", "dtype": "bfloat16"},
+            "train": {"batch": 128, "lr": 1e-3, "epochs": E(12), "seed": 0},
+        }),
+        ("cues_video", "middle_fusion_resnet", {
+            "dataset": dataset, "model": {"name": "middle_fusion_resnet", "dtype": "bfloat16"},
+            "training": {"batch_size": 128, "learning_rate": 1e-4,
+                         "weight_decay": 1e-4, "epochs": E(12), "seed": 0},
+        }),
+        ("audio_cues_video", "late_fusion_mobile", {
+            "dataset": dataset, "model": {"name": "late_fusion_mobile", "dtype": "bfloat16"},
+            "train": {"batch": 128, "lr": 1e-4, "epochs": E(12), "seed": 0},
+        }),
+    ]
+    if args.only:
+        runs = [r for r in runs if r[0] in args.only or f"{r[0]}:{r[1]}" in args.only]
+
+    results = []
+    for pipeline, model, cfg in runs:
+        out_dir = os.path.join(args.out, f"{pipeline}_{model}")
+        shutil.rmtree(out_dir, ignore_errors=True)
+        cfg["output"] = {"base_dir": out_dir, "plots": True}
+        try:
+            results.append(run_pipeline(pipeline, cfg, out_dir))
+        except Exception as e:  # keep sweeping; report at the end
+            print(f"[{pipeline}:{model}] FAILED: {e}", flush=True)
+            results.append({"pipeline": pipeline, "model": model, "error": str(e)})
+
+    acc = {f"{r['pipeline']}:{r['model']}": r.get("acc") for r in results}
+    checks = {}
+    if acc.get("audio:vgg_lstm") and acc.get("video:resnet_trans"):
+        checks["audio_beats_video"] = acc["audio:vgg_lstm"] > acc["video:resnet_trans"]
+    if acc.get("audio_cues_video:late_fusion_mobile") and acc.get("video:resnet_trans"):
+        checks["triple_beats_video"] = (
+            acc["audio_cues_video:late_fusion_mobile"] > acc["video:resnet_trans"]
+        )
+    if acc.get("audio_video:middle_fusion_mobilenet") and acc.get("video:resnet_trans"):
+        checks["av_beats_video"] = (
+            acc["audio_video:middle_fusion_mobilenet"] > acc["video:resnet_trans"]
+        )
+    summary = {
+        "hardness": hardness, "label_noise": args.label_noise,
+        "clips_per_split": args.clips, "seed": args.seed,
+        "results": [{k: v for k, v in r.items() if k != "history"} for r in results],
+        "ordering_checks": checks,
+    }
+    with open(os.path.join(args.out, "summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    print(json.dumps(summary["results"], indent=2))
+    print("ordering checks:", checks, flush=True)
+
+
+if __name__ == "__main__":
+    main()

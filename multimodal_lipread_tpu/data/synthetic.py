@@ -44,32 +44,66 @@ _ADJ = ("calm", "tense", "neutral", "animated", "focused", "relaxed", "bright", 
 _FEAT = ("subtle", "pronounced", "rapid", "slow", "rhythmic", "steady", "soft", "sharp")
 
 
-def _synth_waveform(rng: np.random.Generator, class_idx: int, num_classes: int) -> np.ndarray:
-    """Class-separable waveform: harmonic stack at a class-specific pitch."""
+def _synth_waveform(
+    rng: np.random.Generator, class_idx: int, num_classes: int, hardness: float = 0.0
+) -> np.ndarray:
+    """Class-separable waveform: harmonic stack at a class-specific pitch.
+
+    ``hardness`` ∈ [0, 1] shrinks the inter-class pitch ratio, adds per-clip
+    pitch jitter wide enough to overlap neighbouring classes, randomizes the
+    harmonic timbre per clip (speaker-style nuisance), and raises the noise
+    floor — calibrated so strong audio models land well below 100% but
+    above the weaker modalities (BASELINE.md ordering)."""
     t = np.arange(TARGET_SAMPLES, dtype=np.float32) / SAMPLE_RATE
-    f0 = 120.0 * (1.5 ** class_idx) + rng.uniform(-5, 5)
+    ratio = 1.5 - 0.32 * hardness
+    f0 = 120.0 * (ratio**class_idx)
+    f0 *= 1.0 + rng.normal(0.0, 0.02 + 0.11 * hardness)  # pitch jitter overlap
     wave = np.zeros_like(t)
     for h in range(1, 4):
-        wave += (0.5 ** h) * np.sin(2 * np.pi * f0 * h * t + rng.uniform(0, 2 * np.pi))
-    wave += 0.05 * rng.standard_normal(TARGET_SAMPLES).astype(np.float32)
+        amp = (0.5**h) * (1.0 + hardness * rng.uniform(-0.8, 0.8))  # timbre nuisance
+        wave += amp * np.sin(2 * np.pi * f0 * h * t + rng.uniform(0, 2 * np.pi))
+    noise = 0.05 + 0.55 * hardness
+    wave += noise * rng.standard_normal(TARGET_SAMPLES).astype(np.float32)
     envelope = np.minimum(1.0, 10 * t) * np.minimum(1.0, 10 * (t[-1] - t))
     return (wave * envelope * 8000.0).astype(np.float32)
 
 
-def _synth_lip_sequence(rng: np.random.Generator, class_idx: int) -> np.ndarray:
-    """(29, 44, 44, 3) uint8 with class-conditional brightness + stripe texture."""
-    base = 40 + 40 * class_idx
-    frames = rng.integers(0, 30, size=(29, 44, 44, 3), dtype=np.int64)
+def _synth_lip_sequence(
+    rng: np.random.Generator, class_idx: int, hardness: float = 0.0
+) -> np.ndarray:
+    """(29, 44, 44, 3) uint8 with class-conditional brightness + stripe texture.
+
+    ``hardness`` shrinks the class brightness/stripe separation, adds a
+    per-clip global brightness/contrast nuisance (speaker/lighting style),
+    and raises pixel noise — video is deliberately the weakest modality at
+    high hardness, mirroring the reference's accuracy ordering (audio 90% /
+    video 45.5%, BASELINE.md)."""
+    sep = 40.0 * (1.0 - 0.85 * hardness)
+    base = 40 + sep * class_idx
+    base = base + hardness * rng.uniform(-45, 45)  # lighting nuisance
+    noise_amp = 30 + 150 * hardness
+    frames = rng.integers(0, max(1, int(noise_amp)), size=(29, 44, 44, 3), dtype=np.int64)
     yy = np.arange(44)[None, :, None, None]
-    stripes = ((yy // (2 + class_idx)) % 2) * 60
-    seq = np.clip(base + frames + stripes, 0, 255).astype(np.uint8)
+    stripe_amp = 60.0 * (1.0 - 0.8 * hardness)
+    stripes = ((yy // (2 + class_idx)) % 2) * stripe_amp
+    contrast = 1.0 + hardness * rng.uniform(-0.3, 0.3)
+    seq = np.clip((base + frames + stripes) * contrast, 0, 255).astype(np.uint8)
     return seq
 
 
-def _synth_description(rng: np.random.Generator, mode: str, class_idx: int) -> str:
+def _synth_description(
+    rng: np.random.Generator, mode: str, class_idx: int, hardness: float = 0.0
+) -> str:
+    """``hardness`` makes a fraction of descriptions draw their adjectives
+    from the WHOLE vocabulary instead of the class's own slice — an
+    irreducible ambiguity that caps cue-only accuracy below 100%."""
     tmpl = (_EMOTION_TEMPLATES if mode == "emotion" else _ENV_TEMPLATES)[int(rng.integers(3))]
-    adj = _ADJ[(2 * class_idx + int(rng.integers(2))) % len(_ADJ)]
-    feat = _FEAT[(2 * class_idx + int(rng.integers(2))) % len(_FEAT)]
+    if rng.uniform() < 0.65 * hardness:
+        adj = _ADJ[int(rng.integers(len(_ADJ)))]
+        feat = _FEAT[int(rng.integers(len(_FEAT)))]
+    else:
+        adj = _ADJ[(2 * class_idx + int(rng.integers(2))) % len(_ADJ)]
+        feat = _FEAT[(2 * class_idx + int(rng.integers(2))) % len(_FEAT)]
     return tmpl.format(adj=adj, feat=feat)
 
 
@@ -82,9 +116,30 @@ def make_synthetic_glips(
     with_audio: bool = True,
     with_lip_regions: bool = True,
     with_cues: bool = True,
+    hardness: "float | dict" = 0.0,
+    label_noise: float = 0.0,
 ) -> str:
-    """Generate a synthetic GLips tree under ``root``. Returns ``root``."""
+    """Generate a synthetic GLips tree under ``root``. Returns ``root``.
+
+    ``hardness`` dials in class overlap, per-clip nuisance factors
+    (speaker timbre / lighting), ambiguous cue phrasing, and noise so the
+    corpus stops saturating at 100% — the non-trivial benchmark proxy for
+    reference-scale difficulty (per-modality details in the ``_synth_*``
+    docstrings). It is either one float ∈ [0, 1] for all modalities or a
+    mapping with ``audio`` / ``video`` / ``cues`` keys, so each modality's
+    difficulty can be calibrated independently (the reference's accuracy
+    ordering — audio 90% / video 45.5% / cues 65%, BASELINE.md — needs
+    audio much easier than video). ``label_noise`` re-draws a fraction of
+    TRAIN clips' signal class while keeping the folder word (the label),
+    simulating annotation errors; val/test stay clean so reported accuracy
+    remains meaningful."""
     rng = np.random.default_rng(seed)
+    if isinstance(hardness, dict):
+        h_audio = float(hardness.get("audio", 0.0))
+        h_video = float(hardness.get("video", 0.0))
+        h_cues = float(hardness.get("cues", 0.0))
+    else:
+        h_audio = h_video = h_cues = float(hardness)
     words = sorted(words)
     lip_root = lip_regions_root(root)
 
@@ -102,20 +157,25 @@ def make_synthetic_glips(
                 sid = f"{seq_counter:04d}-{seq_counter + 1:04d}"
                 seq_counter += 2
                 stem = f"{word}_{sid}"
+                # label noise: the folder word (= the label) keeps ci, but
+                # the generated SIGNALS come from a different class
+                sig_ci = ci
+                if label_noise > 0 and split == "train" and rng.uniform() < label_noise:
+                    sig_ci = int(rng.integers(len(words)))
                 if with_audio:
                     wav_path = os.path.join(root, "lipread_files", word, split, stem + ".wav")
-                    write_wav(wav_path, _synth_waveform(rng, ci, len(words)))
+                    write_wav(wav_path, _synth_waveform(rng, sig_ci, len(words), h_audio))
                 if with_lip_regions:
                     npy_path = os.path.join(lip_root, "lipread_files", word, split, stem + ".npy")
                     os.makedirs(os.path.dirname(npy_path), exist_ok=True)
-                    np.save(npy_path, _synth_lip_sequence(rng, ci))
+                    np.save(npy_path, _synth_lip_sequence(rng, sig_ci, h_video))
                 if with_cues:
                     for mode in ("emotion", "environment"):
                         cue_records[(mode, word, split)].append(
                             {
                                 "word": word,
                                 "sequence_id": sid,
-                                "description": _synth_description(rng, mode, ci),
+                                "description": _synth_description(rng, mode, sig_ci, h_cues),
                             }
                         )
 
