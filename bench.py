@@ -83,8 +83,14 @@ def _flops_of(compiled) -> float:
         return float("nan")
 
 
-def _bench_train_step(model, inputs, labels, steps, extra_loss_inputs=None):
-    """Generic fwd+bwd+Adam loop over sharded inputs; returns (clips/s/chip, mfu_flops_per_step, dt)."""
+def _bench_train_step(model, inputs, labels, steps, init_inputs=None, apply_kwargs=None):
+    """Generic fwd+bwd+Adam loop over sharded inputs; returns (clips/s/chip, mfu_flops_per_step, dt).
+
+    ``init_inputs`` (default: ``inputs``) lets the param tree be initialized
+    from a different signature than the benched step consumes — used by the
+    frozen-feature-cache row, whose step takes precomputed encoder outputs
+    (``apply_kwargs={'cached_features': True}``) while the full param tree
+    still comes from raw inputs."""
     import jax
     import jax.numpy as jnp
     import optax
@@ -94,13 +100,15 @@ def _bench_train_step(model, inputs, labels, steps, extra_loss_inputs=None):
     n_chips = len(jax.devices())
     mesh = get_mesh()
     bsharding = batch_sharding(mesh)
+    extra = apply_kwargs or {}
 
     rng = jax.random.PRNGKey(0)
-    init_inputs = tuple(
+    raw_init = inputs if init_inputs is None else init_inputs
+    init_in = tuple(
         (x[: 2 * n_chips].astype(jnp.float32) / 255.0 if x.dtype == np.uint8 else x[: 2 * n_chips])
-        for x in inputs
+        for x in raw_init
     )
-    variables = model.init({"params": rng, "dropout": rng}, *init_inputs, train=False)
+    variables = model.init({"params": rng, "dropout": rng}, *init_in, train=False)
     params, batch_stats = variables["params"], variables.get("batch_stats", {})
     tx = optax.chain(optax.add_decayed_weights(1e-4), optax.scale_by_adam(), optax.scale(-5e-4))
     opt_state = tx.init(params)
@@ -116,7 +124,7 @@ def _bench_train_step(model, inputs, labels, steps, extra_loss_inputs=None):
             logits, mutated = model.apply(
                 {"params": p, "batch_stats": state["batch_stats"]},
                 *xs, train=True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.PRNGKey(1)},
+                rngs={"dropout": jax.random.PRNGKey(1)}, **extra,
             )
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits.astype(jnp.float32), labels
@@ -194,27 +202,136 @@ def bench_video(name: str, peak_tflops: float) -> dict:
     }
 
 
+def _row(metric, model, inputs, labels, peak_tflops, steps=None, **bench_kw) -> dict:
+    """One benchmark table row: train a jitted step, report clips/s/chip + MFU."""
+    import jax
+
+    steps = steps or VIDEO_STEPS
+    n_chips = len(jax.devices())
+    clips, flops, dt = _bench_train_step(model, inputs, labels, steps, **bench_kw)
+    mfu = (flops * steps / dt) / (peak_tflops * 1e12 * n_chips) if np.isfinite(flops) else -1.0
+    return {
+        "metric": metric, "value": round(clips, 2), "unit": "clips/s/chip",
+        "mfu": round(mfu, 4), "peak_tflops_measured": round(peak_tflops, 2),
+    }
+
+
+def _fusion_inputs(batch, with_mel=True, with_cue=True, with_lips=True):
+    rng = np.random.default_rng(0)
+    out = []
+    if with_mel:
+        out.append(rng.standard_normal((batch, 80, 117)).astype(np.float32))
+    if with_cue:
+        out.append(rng.standard_normal((batch, 768)).astype(np.float32))
+    if with_lips:
+        out.append(rng.integers(0, 256, size=(batch, 29, 44, 44, 3)).astype(np.uint8))
+    labels = rng.integers(0, 4, size=batch).astype(np.int32)
+    return tuple(out), labels
+
+
 def bench_triple(peak_tflops: float) -> dict:
     import jax
     import jax.numpy as jnp
 
     from multimodal_lipread_tpu.models.audio_cues_video import get_triple_model
 
-    n_chips = len(jax.devices())
-    batch = VIDEO_BATCH * n_chips
+    batch = VIDEO_BATCH * len(jax.devices())
     model = get_triple_model("late_fusion_mobile", 4, dtype=jnp.bfloat16)
+    inputs, labels = _fusion_inputs(batch)
+    return _row("triple late_fusion_mobile train clips/sec/chip (bf16)",
+                model, inputs, labels, peak_tflops)
+
+
+def bench_av(name: str, peak_tflops: float) -> dict:
+    """audio_video fusion row (reference best: middle_fusion_{fast,mobilenet},
+    BASELINE.md)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_lipread_tpu.models.audio_video import get_av_model
+
+    batch = VIDEO_BATCH * len(jax.devices())
+    model = get_av_model(name, 4, dtype=jnp.bfloat16)
+    inputs, labels = _fusion_inputs(batch, with_cue=False)
+    return _row(f"av {name} train clips/sec/chip (bf16)",
+                model, inputs, labels, peak_tflops)
+
+
+def bench_audio_cues(peak_tflops: float) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_lipread_tpu.models.audio_cues import get_audio_cues_model
+
+    batch = VIDEO_BATCH * len(jax.devices())
+    model = get_audio_cues_model("middle_fusion_mobile", 4, dtype=jnp.bfloat16)
+    inputs, labels = _fusion_inputs(batch, with_lips=False)
+    return _row("audio_cues middle_fusion_mobile train clips/sec/chip (bf16)",
+                model, inputs, labels, peak_tflops)
+
+
+def bench_cues_video(peak_tflops: float) -> dict:
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_lipread_tpu.models.cues_video import get_cues_video_model
+
+    batch = VIDEO_BATCH * len(jax.devices())
+    model = get_cues_video_model("middle_fusion_resnet", 4, dtype=jnp.bfloat16)
+    inputs, labels = _fusion_inputs(batch, with_mel=False)
+    return _row("cues_video middle_fusion_resnet train clips/sec/chip (bf16)",
+                model, inputs, labels, peak_tflops)
+
+
+def bench_cues(peak_tflops: float) -> dict:
+    """Cue text classifier row (reference best: multi_attn, BASELINE.md).
+    Tiny MLP-scale model — throughput is dispatch-bound, reported for
+    completeness of the 7-pipeline table."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_lipread_tpu.models.cues import get_cue_model
+
+    batch = 512 * len(jax.devices())
+    model = get_cue_model("multi_attn", 4, dtype=jnp.bfloat16)
     rng = np.random.default_rng(0)
-    mels = rng.standard_normal((batch, 80, 117)).astype(np.float32)
     cues = rng.standard_normal((batch, 768)).astype(np.float32)
-    lips = rng.integers(0, 256, size=(batch, 29, 44, 44, 3)).astype(np.uint8)
     labels = rng.integers(0, 4, size=batch).astype(np.int32)
-    clips, flops, dt = _bench_train_step(model, (mels, cues, lips), labels, VIDEO_STEPS)
-    mfu = (flops * VIDEO_STEPS / dt) / (peak_tflops * 1e12 * n_chips) if np.isfinite(flops) else -1.0
-    return {
-        "metric": "triple late_fusion_mobile train clips/sec/chip (bf16)",
-        "value": round(clips, 2), "unit": "clips/s/chip",
-        "mfu": round(mfu, 4), "peak_tflops_measured": round(peak_tflops, 2),
-    }
+    return _row("cues multi_attn train clips/sec/chip (bf16, batch 512)",
+                model, (cues,), labels, peak_tflops)
+
+
+def bench_triple_frozen_cache(peak_tflops: float) -> list:
+    """The frozen-feature-cache lever, measured: triple early_fusion_mobile
+    (frozen ResNet18 audio + frozen MobileNet video,
+    FROZEN_PARAM_PREFIXES) trained on raw inputs vs on precomputed frozen
+    features (training.cache_frozen_features)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_lipread_tpu.models.audio_cues_video import get_triple_model
+
+    batch = VIDEO_BATCH * len(jax.devices())
+    model = get_triple_model("early_fusion_mobile", 4, dtype=jnp.bfloat16,
+                             frozen_bn_eval=True)
+    inputs, labels = _fusion_inputs(batch)
+    uncached = _row(
+        "triple early_fusion_mobile train clips/sec/chip (bf16, frozen fwd every step)",
+        model, inputs, labels, peak_tflops,
+    )
+    rng = np.random.default_rng(0)
+    cached_inputs = (
+        rng.standard_normal((batch, 512)).astype(np.float32),  # audio ResNet18 feat
+        inputs[1],  # cue
+        rng.standard_normal((batch, 29, 1280)).astype(np.float32),  # MobileNet frame feats
+    )
+    cached = _row(
+        "triple early_fusion_mobile train clips/sec/chip (bf16, cache_frozen_features)",
+        model, cached_inputs, labels, peak_tflops,
+        init_inputs=inputs, apply_kwargs={"cached_features": True},
+    )
+    cached["speedup_vs_uncached"] = round(cached["value"] / max(uncached["value"], 1e-9), 2)
+    return [uncached, cached]
 
 
 def bench_torch_baseline() -> float:
@@ -308,6 +425,15 @@ def bench_serving() -> list:
          get_video_model("resnet_lstm", 4, dtype=jnp.bfloat16),
          (jnp.asarray(rng.integers(0, 256, (VIDEO_BATCH, 29, 44, 44, 3)).astype(np.uint8)),)),
     ]
+    from multimodal_lipread_tpu.models.audio_cues_video import get_triple_model
+
+    cases.append(
+        ("triple late_fusion_mobile (mel+cue+lips in)",
+         get_triple_model("late_fusion_mobile", 4, dtype=jnp.bfloat16),
+         (jnp.asarray(rng.standard_normal((VIDEO_BATCH, 80, 117)).astype(np.float32)),
+          jnp.asarray(rng.standard_normal((VIDEO_BATCH, 768)).astype(np.float32)),
+          jnp.asarray(rng.integers(0, 256, (VIDEO_BATCH, 29, 44, 44, 3)).astype(np.uint8))))
+    )
     for name, model, inputs in cases:
         key = jax.random.PRNGKey(0)
         init_inputs = tuple(
@@ -368,17 +494,35 @@ def main(full: bool = True):
             "value": round(audio_mfu, 4), "unit": "fraction",
             "peak_tflops_measured": round(peak, 2),
         }), flush=True)
-    for line in (
+    rows = [
         bench_video("mobilenet_lstm", peak),
         bench_video("resnet_lstm", peak),
+        bench_video("resnet_trans", peak),
         bench_triple(peak),
-    ):
+        bench_av("middle_fusion_mobilenet", peak),
+        bench_av("middle_fusion_fast", peak),
+        bench_audio_cues(peak),
+        bench_cues_video(peak),
+        bench_cues(peak),
+    ]
+    rows.extend(bench_triple_frozen_cache(peak))
+    for line in rows:
         print(json.dumps(line), flush=True)
 
 
 if __name__ == "__main__":
     import sys
 
+    # persistent compile cache: the table's ~12 train-step compiles are
+    # identical across bench invocations
+    try:
+        import jax as _j
+
+        if getattr(_j.config, "jax_compilation_cache_dir", None) is None:
+            _j.config.update("jax_compilation_cache_dir", "/tmp/mlt_bench_cache")
+            _j.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
     if "--serving" in sys.argv:
         for line in bench_serving():
             print(json.dumps(line), flush=True)

@@ -175,11 +175,14 @@ def _standardize(logmel: jnp.ndarray) -> jnp.ndarray:
     return (logmel - mean) / (std + NORM_EPS)
 
 
+@functools.partial(jax.jit, static_argnames=("normalize",))
 def log_mel_xla(wave: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
     """Pure-XLA log-mel: (B, NUM_SAMPLES) → (B, N_MELS, NUM_FRAMES) float32.
 
-    Framing-free split-GEMM formulation (see :func:`block_signal`): ~4×
-    faster than materializing frames on TPU (docs/PERFORMANCE.md)."""
+    Framing-free split-GEMM formulation (see :func:`block_signal`).
+    Jitted at this boundary: on remote/tunneled backends, eager per-op
+    dispatch of the ~15-op pipeline costs minutes of compile round-trips
+    per fresh process, vs one cached executable."""
     blocks = block_signal(wave.astype(jnp.float32))  # (B, N_BLOCKS, HOP)
     w0, w1, w2 = (jnp.asarray(w) for w in dft_basis_split())
     t = NUM_FRAMES
@@ -200,6 +203,7 @@ def log_mel_xla(wave: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
     return _standardize(logmel) if normalize else logmel
 
 
+@functools.partial(jax.jit, static_argnames=("normalize",))
 def log_mel_fft(wave: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
     """rfft-based log-mel: (B, NUM_SAMPLES) → (B, N_MELS, NUM_FRAMES) float32.
 

@@ -23,6 +23,13 @@ from multimodal_lipread_tpu.data.glips import (
     scan_glips,
 )
 from multimodal_lipread_tpu.ops.logmel import log_mel
+from multimodal_lipread_tpu.train.trainer import _enable_compile_cache
+
+# Persistent XLA compile cache from the FIRST device op of any pipeline —
+# not just from Trainer construction. The featurization (log-mel) compiles
+# BEFORE a Trainer exists; without this, every fresh pipeline process paid
+# those compiles again (minutes per process on remote/tunneled backends).
+_enable_compile_cache()
 from multimodal_lipread_tpu.train.trainer import ArrayDataset
 
 MEL_BINS = 80
