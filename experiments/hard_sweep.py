@@ -83,8 +83,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=200, help="clips per word per split")
     ap.add_argument(
-        "--hardness", default="audio=0.3,video=0.5,cues=0.7",
-        help="float, or per-modality 'audio=0.3,video=0.5,cues=0.7' "
+        "--hardness", default="audio=0.55,video=0.8,cues=0.7",
+        help="float, or per-modality 'audio=0.55,video=0.8,cues=0.7' "
         "(calibrated to the BASELINE.md accuracy ordering)",
     )
     ap.add_argument("--label-noise", type=float, default=0.05)
@@ -93,6 +93,11 @@ def main():
     ap.add_argument("--corpus", default="/tmp/hardsynth/GLips_4")
     ap.add_argument("--out", default=os.path.join(REPO, "experiments", "hard_sweep"))
     ap.add_argument("--only", nargs="*", help="subset of pipeline names")
+    ap.add_argument(
+        "--skip-existing", action="store_true",
+        help="skip runs whose TXT log already has a Final Test footer "
+        "(watchdog retries after a wedged remote session)",
+    )
     args = ap.parse_args()
 
     hardness = parse_hardness(args.hardness)
@@ -157,9 +162,21 @@ def main():
     if args.only:
         runs = [r for r in runs if r[0] in args.only or f"{r[0]}:{r[1]}" in args.only]
 
+    def _done(out_dir, model):
+        import glob
+
+        for p in glob.glob(os.path.join(out_dir, "metrics", "*_training_log.txt")):
+            with open(p) as f:
+                if "Final Test" in f.read():
+                    return True
+        return False
+
     results = []
     for pipeline, model, cfg in runs:
         out_dir = os.path.join(args.out, f"{pipeline}_{model}")
+        if args.skip_existing and _done(out_dir, model):
+            print(f"[{pipeline}:{model}] already complete, skipping", flush=True)
+            continue
         shutil.rmtree(out_dir, ignore_errors=True)
         cfg["output"] = {"base_dir": out_dir, "plots": True}
         try:
