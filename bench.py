@@ -283,6 +283,23 @@ def bench_cues_video(peak_tflops: float) -> dict:
                 model, inputs, labels, peak_tflops)
 
 
+def bench_audio_conformer(peak_tflops: float) -> dict:
+    """Audio Conformer extension row (best audio model on the hard corpus,
+    experiments/hard_sweep/README.md — 84.1% vs vgg_lstm 79.6%)."""
+    import jax
+    import jax.numpy as jnp
+
+    from multimodal_lipread_tpu.models.audio import get_audio_model
+
+    batch = BATCH * len(jax.devices())
+    model = get_audio_model("conformer", 4, dtype=jnp.bfloat16)
+    rng = np.random.default_rng(0)
+    mels = rng.standard_normal((batch, 80, 117)).astype(np.float32)
+    labels = rng.integers(0, 4, size=batch).astype(np.int32)
+    return _row("audio conformer train clips/sec/chip (bf16)",
+                model, (mels,), labels, peak_tflops, steps=STEPS)
+
+
 def bench_cues(peak_tflops: float) -> dict:
     """Cue text classifier row (reference best: multi_attn, BASELINE.md).
     Tiny MLP-scale model — throughput is dispatch-bound, reported for
@@ -498,6 +515,8 @@ def main(full: bool = True):
         bench_video("mobilenet_lstm", peak),
         bench_video("resnet_lstm", peak),
         bench_video("resnet_trans", peak),
+        bench_video("conformer", peak),
+        bench_audio_conformer(peak),
         bench_triple(peak),
         bench_av("middle_fusion_mobilenet", peak),
         bench_av("middle_fusion_fast", peak),

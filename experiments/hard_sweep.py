@@ -79,6 +79,81 @@ def run_pipeline(name: str, cfg_dict: dict, out_dir: str):
     }
 
 
+def zoo_runs(dataset: dict, base_train: dict, E) -> list:
+    """Full-registry sweep: every model BASELINE.md publishes a number for,
+    plus the conformer extensions. One hyperparameter set per family — the
+    reference's own methodology (one shared yaml per subsystem, e.g.
+    audio/configs/audio_config.yaml trains all seven audio models).
+
+    Ordered cheapest-family-first so an interrupted sweep still yields
+    complete per-family tables; combine with --skip-existing to resume.
+    Skipped: `test_model` entries (reference debug stubs), bert/bert_lite
+    (random-init tiny in this zero-egress image — accuracy meaningless),
+    linear/tfidf (no reference number), av early_fusion_resnet (in the
+    registry but no published reference log)."""
+    CUES = ["dense_nn", "minilm_lstm", "minilm_lstm_attn", "multi_attn",
+            "transformer", "minilm_cnn_lstm", "minilm_cnn_bilstm_attn",
+            "lstm_multi_attn"]
+    AUDIO = ["resnet", "resnet_lstm", "vgg", "vgg_lstm", "lstm_resnet",
+             "lstm_resnet_attn", "lstm_resnet_trans", "conformer"]
+    VIDEO = ["cnn", "resnet_lstm", "shufflenet_lstm", "mobilenet_lstm",
+             "vgg_lstm", "resnet_attn", "resnet_trans", "conformer"]
+    CV = ["early_fusion_mobile", "middle_fusion_mobile", "late_fusion_mobile",
+          "early_fusion_resnet", "middle_fusion_resnet", "late_fusion_resnet"]
+    AV = ["early_fusion_fast", "late_fusion_fast", "middle_fusion_fast",
+          "early_fusion_mobilenet", "late_fusion_mobilenet",
+          "middle_fusion_mobilenet"]
+    TRIPLE = ["early_fusion_mobile", "early_fusion_resnet",
+              "middle_fusion_resnet", "late_fusion_mobile"]
+    AC = ["early_fusion_mobile", "middle_fusion_mobile", "late_fusion_mobile"]
+
+    runs = []
+    for n in CUES:
+        runs.append(("cues", n, {
+            "dataset": dataset, "model": {"name": n},
+            "training": {**base_train, "batch_size": 64, "learning_rate": 1e-3,
+                         "epochs": E(15)},
+        }))
+    for n in AUDIO:
+        model = {"name": n, "dtype": "bfloat16"}
+        if n.startswith("vgg"):
+            model["version"] = 16
+        runs.append(("audio", n, {
+            "dataset": dataset, "model": model,
+            "training": {**base_train, "learning_rate": 5e-4,
+                         "weight_decay": 1e-4, "epochs": E(15)},
+        }))
+    for n in VIDEO:
+        runs.append(("video", n, {
+            "dataset": dataset, "model": {"name": n, "dtype": "bfloat16"},
+            "training": {**base_train,
+                         "learning_rate": 1e-4 if n == "conformer" else 5e-5,
+                         "weight_decay": 1e-5, "epochs": E(12)},
+        }))
+    for n in CV:
+        runs.append(("cues_video", n, {
+            "dataset": dataset, "model": {"name": n, "dtype": "bfloat16"},
+            "training": {"batch_size": 128, "learning_rate": 1e-4,
+                         "weight_decay": 1e-4, "epochs": E(12), "seed": 0},
+        }))
+    for n in AV:
+        runs.append(("audio_video", n, {
+            "dataset": dataset, "model": {"name": n, "dtype": "bfloat16"},
+            "training": {**base_train, "learning_rate": 1e-4, "epochs": E(12)},
+        }))
+    for n in TRIPLE:
+        runs.append(("audio_cues_video", n, {
+            "dataset": dataset, "model": {"name": n, "dtype": "bfloat16"},
+            "train": {"batch": 128, "lr": 1e-4, "epochs": E(12), "seed": 0},
+        }))
+    for n in AC:
+        runs.append(("audio_cues", n, {
+            "dataset": dataset, "model": {"name": n, "dtype": "bfloat16"},
+            "train": {"batch": 128, "lr": 1e-3, "epochs": E(12), "seed": 0},
+        }))
+    return runs
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--clips", type=int, default=200, help="clips per word per split")
@@ -93,6 +168,13 @@ def main():
     ap.add_argument("--corpus", default="/tmp/hardsynth/GLips_4")
     ap.add_argument("--out", default=os.path.join(REPO, "experiments", "hard_sweep"))
     ap.add_argument("--only", nargs="*", help="subset of pipeline names")
+    ap.add_argument(
+        "--zoo", action="store_true",
+        help="sweep the FULL model registries (every model the reference "
+        "publishes a number for in BASELINE.md, plus the conformer "
+        "extensions) instead of only each pipeline's best; combine with "
+        "--skip-existing to reuse completed runs",
+    )
     ap.add_argument(
         "--skip-existing", action="store_true",
         help="skip runs whose TXT log already has a Final Test footer "
@@ -159,6 +241,8 @@ def main():
             "train": {"batch": 128, "lr": 1e-4, "epochs": E(12), "seed": 0},
         }),
     ]
+    if args.zoo:
+        runs = zoo_runs(dataset, base_train, E)
     if args.only:
         runs = [r for r in runs if r[0] in args.only or f"{r[0]}:{r[1]}" in args.only]
 
@@ -171,11 +255,37 @@ def main():
                     return True
         return False
 
+    # prior results (from either summary file) let --skip-existing reuse
+    # completed runs without losing their rows in the new summary
+    prior = {}
+    for fname in ("summary.json", "summary_zoo.json"):
+        try:
+            with open(os.path.join(args.out, fname)) as f:
+                for r in json.load(f)["results"]:
+                    prior[(r["pipeline"], r["model"])] = r
+        except (OSError, ValueError, KeyError):
+            pass
+    summary_name = "summary_zoo.json" if args.zoo else "summary.json"
+
+    def flush_summary(results, checks):
+        summary = {
+            "hardness": hardness, "label_noise": args.label_noise,
+            "clips_per_split": args.clips, "seed": args.seed,
+            "results": [{k: v for k, v in r.items() if k != "history"}
+                        for r in results],
+            "ordering_checks": checks,
+        }
+        with open(os.path.join(args.out, summary_name), "w") as f:
+            json.dump(summary, f, indent=2)
+        return summary
+
     results = []
     for pipeline, model, cfg in runs:
         out_dir = os.path.join(args.out, f"{pipeline}_{model}")
         if args.skip_existing and _done(out_dir, model):
             print(f"[{pipeline}:{model}] already complete, skipping", flush=True)
+            if (pipeline, model) in prior:
+                results.append(prior[(pipeline, model)])
             continue
         shutil.rmtree(out_dir, ignore_errors=True)
         cfg["output"] = {"base_dir": out_dir, "plots": True}
@@ -184,6 +294,7 @@ def main():
         except Exception as e:  # keep sweeping; report at the end
             print(f"[{pipeline}:{model}] FAILED: {e}", flush=True)
             results.append({"pipeline": pipeline, "model": model, "error": str(e)})
+        flush_summary(results, {})  # incremental: a killed sweep keeps its rows
 
     acc = {f"{r['pipeline']}:{r['model']}": r.get("acc") for r in results}
     checks = {}
@@ -197,14 +308,7 @@ def main():
         checks["av_beats_video"] = (
             acc["audio_video:middle_fusion_mobilenet"] > acc["video:resnet_trans"]
         )
-    summary = {
-        "hardness": hardness, "label_noise": args.label_noise,
-        "clips_per_split": args.clips, "seed": args.seed,
-        "results": [{k: v for k, v in r.items() if k != "history"} for r in results],
-        "ordering_checks": checks,
-    }
-    with open(os.path.join(args.out, "summary.json"), "w") as f:
-        json.dump(summary, f, indent=2)
+    summary = flush_summary(results, checks)
     print(json.dumps(summary["results"], indent=2))
     print("ordering checks:", checks, flush=True)
 
