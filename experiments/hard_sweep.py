@@ -275,14 +275,24 @@ def main():
                         for r in results],
             "ordering_checks": checks,
         }
-        with open(os.path.join(args.out, summary_name), "w") as f:
+        # atomic: a watchdog kill mid-write must not corrupt the prior-row
+        # file that --skip-existing resumes from
+        path = os.path.join(args.out, summary_name)
+        with open(path + ".tmp", "w") as f:
             json.dump(summary, f, indent=2)
+        os.replace(path + ".tmp", path)
         return summary
 
     results = []
     for pipeline, model, cfg in runs:
         out_dir = os.path.join(args.out, f"{pipeline}_{model}")
-        if args.skip_existing and _done(out_dir, model):
+        # complete = a successful row in a prior summary (flushed only after
+        # a run finishes), or a Final Test footer in the metrics log. The
+        # footer alone misses the cues family, whose reference log format is
+        # train/val-only with no test footer — without the prior-row check a
+        # relaunched sweep re-trains all 8 cues models every time.
+        prior_ok = (pipeline, model) in prior and "error" not in prior[(pipeline, model)]
+        if args.skip_existing and (prior_ok or _done(out_dir, model)):
             print(f"[{pipeline}:{model}] already complete, skipping", flush=True)
             if (pipeline, model) in prior:
                 results.append(prior[(pipeline, model)])
