@@ -255,6 +255,30 @@ def main():
                     return True
         return False
 
+    def _row_from_logs(out_dir, pipeline, model):
+        """Reconstruct a summary row for a finished run that has a Final
+        Test footer but no prior summary row (sweep killed between the
+        footer write and the summary flush)."""
+        import csv
+        import glob
+        import re
+
+        for p in glob.glob(os.path.join(out_dir, "metrics", "*_training_log.txt")):
+            with open(p) as f:
+                m = re.search(r"Final Test Acc: ([\d.]+)%", f.read())
+            if not m:
+                continue
+            epochs = 0
+            csv_path = p.replace(".txt", ".csv")
+            if os.path.exists(csv_path):
+                with open(csv_path) as f:
+                    epochs = sum(1 for _ in csv.reader(f)) - 1
+            return {"pipeline": pipeline, "model": model,
+                    "acc": float(m.group(1)), "seconds": None,
+                    "lr_reduced": None, "epochs": epochs,
+                    "recovered_from_log": True}
+        return None
+
     # prior results (from either summary file) let --skip-existing reuse
     # completed runs without losing their rows in the new summary
     prior = {}
@@ -296,6 +320,10 @@ def main():
             print(f"[{pipeline}:{model}] already complete, skipping", flush=True)
             if (pipeline, model) in prior:
                 results.append(prior[(pipeline, model)])
+            else:
+                row = _row_from_logs(out_dir, pipeline, model)
+                if row is not None:
+                    results.append(row)
             continue
         shutil.rmtree(out_dir, ignore_errors=True)
         cfg["output"] = {"base_dir": out_dir, "plots": True}

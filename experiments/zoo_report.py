@@ -1,0 +1,185 @@
+"""Zoo-sweep report: per-family accuracy tables + rank agreement vs the
+reference record.
+
+Reads ``experiments/hard_sweep/summary_zoo.json`` (written by
+``hard_sweep.py --zoo``) and emits a markdown report comparing, family by
+family, the hard-corpus accuracy of every swept model against the
+reference's committed training logs (BASELINE.md). The point is NOT
+absolute parity — the corpora differ (real GLips_4 vs calibrated synthetic;
+REALDATA.md) — but whether the rebuild reproduces the reference's
+*qualitative* structure: which architectures win within each family, and
+by how much, measured with Spearman rank correlation.
+
+Usage: python experiments/zoo_report.py [--out experiments/hard_sweep/ZOO.md]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+# Reference final test accuracies (BASELINE.md; cue rows are last-epoch val
+# acc on emotion cues — those logs have no test column). None = the
+# reference registry has the model but publishes no number for it.
+REFERENCE = {
+    "audio": {
+        "resnet": 87.50, "resnet_lstm": 85.00, "vgg": 89.00,
+        "vgg_lstm": 90.00, "lstm_resnet": None, "lstm_resnet_attn": 82.50,
+        "lstm_resnet_trans": 82.50, "conformer": None,  # TPU-build extension
+    },
+    "video": {
+        "cnn": 32.50, "resnet_lstm": 37.00, "shufflenet_lstm": 36.50,
+        "mobilenet_lstm": None, "vgg_lstm": None, "resnet_attn": 43.50,
+        "resnet_trans": 45.50, "conformer": None,  # extension
+    },
+    "audio_video": {
+        "early_fusion_fast": 34.00, "late_fusion_fast": 32.50,
+        "middle_fusion_fast": 82.50, "early_fusion_mobilenet": 50.00,
+        "late_fusion_mobilenet": 41.50, "middle_fusion_mobilenet": 82.50,
+    },
+    "cues": {
+        "dense_nn": 51.25, "minilm_lstm": 56.875, "minilm_lstm_attn": None,
+        "multi_attn": 65.00, "transformer": None, "minilm_cnn_lstm": 30.00,
+        "minilm_cnn_bilstm_attn": 18.75, "lstm_multi_attn": None,
+    },
+    "cues_video": {
+        "early_fusion_mobile": 39.00, "middle_fusion_mobile": 53.00,
+        "late_fusion_mobile": 48.00, "early_fusion_resnet": 49.00,
+        "middle_fusion_resnet": 55.00, "late_fusion_resnet": 42.00,
+    },
+    "audio_cues": {
+        # reference publishes no audio_cues metrics/ logs (train.py
+        # hard-codes middle_fusion_mobile and no log dir is committed)
+        "early_fusion_mobile": None, "middle_fusion_mobile": None,
+        "late_fusion_mobile": None,
+    },
+    "audio_cues_video": {
+        "early_fusion_mobile": 57.00, "early_fusion_resnet": 58.50,
+        "middle_fusion_resnet": 58.00, "late_fusion_mobile": 95.50,
+    },
+}
+
+FAMILY_ORDER = ["audio", "video", "audio_video", "cues", "audio_cues",
+                "cues_video", "audio_cues_video"]
+
+
+def spearman(xs, ys):
+    """Spearman rank correlation with average ranks for ties."""
+    def ranks(v):
+        order = sorted(range(len(v)), key=lambda i: v[i])
+        r = [0.0] * len(v)
+        i = 0
+        while i < len(order):
+            j = i
+            while j + 1 < len(order) and v[order[j + 1]] == v[order[i]]:
+                j += 1
+            avg = (i + j) / 2 + 1
+            for k in range(i, j + 1):
+                r[order[k]] = avg
+            i = j + 1
+        return r
+    rx, ry = ranks(xs), ranks(ys)
+    n = len(xs)
+    mx, my = sum(rx) / n, sum(ry) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(rx, ry))
+    dx = sum((a - mx) ** 2 for a in rx) ** 0.5
+    dy = sum((b - my) ** 2 for b in ry) ** 0.5
+    return num / (dx * dy) if dx and dy else float("nan")
+
+
+def build_report(summary_path: str) -> str:
+    with open(summary_path) as f:
+        summary = json.load(f)
+    ours = {}
+    for r in summary["results"]:
+        if "error" in r:
+            continue
+        ours[(r["pipeline"], r["model"])] = r
+
+    lines = [
+        "# Zoo sweep — full-registry accuracy record (hard synthetic corpus)",
+        "",
+        "Every model the reference publishes a number for (plus the Conformer",
+        "extensions), trained on the calibrated hard corpus",
+        f"(hardness={summary['hardness']}, label_noise={summary['label_noise']},",
+        f"{summary['clips_per_split']} clips/word/split, seed {summary['seed']}).",
+        "Reference accuracies are real-GLips_4 numbers from its committed logs",
+        "(BASELINE.md) — corpora differ, so the comparison is about *within-family",
+        "ordering*, not absolute values. `rank` columns rank within the family",
+        "(1 = best); ρ is Spearman rank correlation over models with numbers on",
+        "both sides.",
+        "",
+        "Reproduce: `python experiments/hard_sweep.py --zoo --skip-existing`;",
+        "regenerate this file: `python experiments/zoo_report.py`.",
+        "",
+    ]
+    overall = []
+    for fam in FAMILY_ORDER:
+        ref = REFERENCE[fam]
+        rows = []
+        for model in ref:
+            r = ours.get((fam, model))
+            rows.append((model, ref[model], r))
+        # ranks within family
+        ours_accs = [(m, r["acc"]) for m, _, r in rows if r]
+        ref_accs = [(m, a) for m, a, _ in rows if a is not None]
+        ours_rank = {m: i + 1 for i, (m, _) in enumerate(
+            sorted(ours_accs, key=lambda t: -t[1]))}
+        ref_rank = {m: i + 1 for i, (m, _) in enumerate(
+            sorted(ref_accs, key=lambda t: -t[1]))}
+        both = [m for m, a, r in rows if a is not None and r]
+        rho = spearman([ref[m] for m in both],
+                       [ours[(fam, m)]["acc"] for m in both]) if len(both) >= 3 else None
+        metric = ("last-epoch val acc" if fam == "cues" else "final test acc")
+        lines.append(f"## {fam} ({metric})")
+        lines.append("")
+        lines.append("| model | reference | rank | this build | rank | plateau-LR | wall |")
+        lines.append("|---|---|---|---|---|---|---|")
+        for model, ref_acc, r in rows:
+            ra = f"{ref_acc:.2f}%" if ref_acc is not None else "—"
+            rr = str(ref_rank.get(model, "—"))
+            if r:
+                oa = f"{r['acc']:.2f}%"
+                orank = str(ours_rank.get(model, "—"))
+                lr = "yes" if r.get("lr_reduced") else "no"
+                wall = f"{r['seconds']:.0f} s"
+            else:
+                oa = orank = lr = wall = "—"
+            lines.append(f"| {model} | {ra} | {rr} | {oa} | {orank} | {lr} | {wall} |")
+        lines.append("")
+        if rho is not None:
+            lines.append(f"Rank agreement (n={len(both)}): **ρ = {rho:+.2f}**")
+            lines.append("")
+            overall.append((fam, rho, len(both)))
+    if overall:
+        lines.append("## Rank-agreement summary")
+        lines.append("")
+        lines.append("| family | n | Spearman ρ |")
+        lines.append("|---|---|---|")
+        for fam, rho, n in overall:
+            lines.append(f"| {fam} | {n} | {rho:+.2f} |")
+        lines.append("")
+    done = len(ours)
+    total = sum(len(v) for v in REFERENCE.values())
+    lines.append(f"_Coverage: {done}/{total} registry models swept._")
+    lines.append("")
+    return "\n".join(lines)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--summary",
+                    default=os.path.join(HERE, "hard_sweep", "summary_zoo.json"))
+    ap.add_argument("--out", default=os.path.join(HERE, "hard_sweep", "ZOO.md"))
+    args = ap.parse_args()
+    report = build_report(args.summary)
+    with open(args.out, "w") as f:
+        f.write(report)
+    print(report)
+
+
+if __name__ == "__main__":
+    main()
