@@ -144,23 +144,37 @@ def build_report(summary_path: str) -> str:
             if r:
                 oa = f"{r['acc']:.2f}%"
                 orank = str(ours_rank.get(model, "—"))
-                lr = "yes" if r.get("lr_reduced") else "no"
-                wall = f"{r['seconds']:.0f} s"
+                # rows recovered from logs alone carry None for the fields
+                # the killed sweep never flushed (hard_sweep._row_from_logs)
+                lr = ("—" if r.get("lr_reduced") is None
+                      else "yes" if r["lr_reduced"] else "no")
+                wall = ("—" if r.get("seconds") is None
+                        else f"{r['seconds']:.0f} s")
             else:
                 oa = orank = lr = wall = "—"
             lines.append(f"| {model} | {ra} | {rr} | {oa} | {orank} | {lr} | {wall} |")
         lines.append("")
         if rho is not None:
-            lines.append(f"Rank agreement (n={len(both)}): **ρ = {rho:+.2f}**")
+            spread = (max(a for _, a in ours_accs) - min(a for _, a in ours_accs)
+                      if ours_accs else 0.0)
+            lines.append(f"Rank agreement (n={len(both)}): **ρ = {rho:+.2f}** "
+                         f"(this-build family spread {spread:.1f} pts)")
             lines.append("")
-            overall.append((fam, rho, len(both)))
+            overall.append((fam, rho, len(both), spread))
     if overall:
         lines.append("## Rank-agreement summary")
         lines.append("")
-        lines.append("| family | n | Spearman ρ |")
-        lines.append("|---|---|---|")
-        for fam, rho, n in overall:
-            lines.append(f"| {fam} | {n} | {rho:+.2f} |")
+        lines.append("| family | n | Spearman ρ | this-build spread |")
+        lines.append("|---|---|---|---|")
+        for fam, rho, n, spread in overall:
+            lines.append(f"| {fam} | {n} | {rho:+.2f} | {spread:.1f} pts |")
+        lines.append("")
+        lines.append(
+            "ρ is only meaningful where the build separates the family: when"
+            " the spread is within a couple of points (e.g. the cues family —"
+            " synthetic cue text carries a fixed recoverable signal that every"
+            " embedding classifier saturates), within-family ranks are tie"
+            "-noise and ρ carries no signal.")
         lines.append("")
     done = len(ours)
     total = sum(len(v) for v in REFERENCE.values())
