@@ -138,6 +138,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             test_every_epoch=True,
             device_resident=cfg.get("training.device_resident", False),
             handle_preemption=cfg.get("training.handle_preemption", False),
+            host_prefetch=cfg.get("training.host_prefetch", 2),
         ),
     )
     trainer.ensure_initialized(datasets["train"])

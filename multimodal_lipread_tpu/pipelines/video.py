@@ -132,6 +132,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             mixup_alpha=cfg.get("augmentation.mixup_alpha", 0.0),
             device_resident=cfg.get("training.device_resident", False),
             handle_preemption=cfg.get("training.handle_preemption", False),
+            host_prefetch=cfg.get("training.host_prefetch", 2),
         ),
     )
     trainer.ensure_initialized(datasets["train"])

@@ -122,6 +122,14 @@ class TrainerConfig:
     # param-path prefixes excluded from ALL optimizer updates (weight decay
     # included) — torch requires_grad=False semantics for frozen encoders
     frozen_param_prefixes: Tuple[Tuple[str, ...], ...] = ()
+    # run batch PREPARATION (host decode, padding, the device_put H2D copy)
+    # in a side thread, up to this many batches ahead of the consuming step
+    # loop. The step dispatch itself is already async, but on hosts where
+    # device_put blocks on the transfer (tunneled devices, multi-host
+    # assembly) the inline generator serializes batch k+1's copy behind
+    # step k; a bounded FIFO restores the overlap without changing batch
+    # order (trajectories stay bit-identical). 0 disables.
+    host_prefetch: int = 2
     # catch SIGTERM/SIGINT during fit(): finish the in-flight batch, write
     # the rolling checkpoint (attributed to the last COMPLETED epoch, so a
     # --resume replays the interrupted epoch), and return with
@@ -135,6 +143,63 @@ class TrainerConfig:
 class EpochMetrics:
     loss: float
     acc: float  # percent, like the reference logs
+
+
+def _host_prefetch_iter(it, depth: int):
+    """Drain a batch iterator from a daemon thread, ``depth`` items ahead.
+
+    Keeps host-side batch preparation (streaming decode, weight-0 padding,
+    the H2D ``device_put``) off the step loop's critical path: while the
+    device executes step k, the producer thread is already preparing and
+    copying batches k+1..k+depth. The bounded queue is the backpressure —
+    at most ``depth`` extra batches hold host/device memory. FIFO order is
+    preserved, so the training trajectory is identical to the inline path.
+
+    Producer exceptions re-raise in the consumer; an early consumer exit
+    (preemption break) stops the producer via the ``finally`` close.
+    """
+    if depth <= 0:
+        yield from it
+        return
+    import queue as queue_mod
+    import threading
+
+    q: Any = queue_mod.Queue(maxsize=depth)
+    stop = threading.Event()
+    end = object()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.25)
+                return True
+            except queue_mod.Full:
+                continue
+        return False
+
+    def _produce():
+        try:
+            for item in it:
+                if not _put(item):
+                    return
+            tail: Any = end
+        except BaseException as e:  # noqa: BLE001 — delivered to the consumer
+            tail = e
+        _put(tail)
+
+    t = threading.Thread(target=_produce, name="mlt-host-prefetch", daemon=True)
+    t.start()
+    try:
+        while True:
+            item = q.get()
+            if item is end:
+                return
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+    finally:
+        stop.set()
+        t.join(timeout=5.0)
 
 
 class _AsyncMetrics:
@@ -649,7 +714,9 @@ class Trainer:
             batches = self._batches(ds, shuffle=True, rng=rng)
         else:  # StreamingDataset (grain-backed host loading)
             batches = self._stream_batches(ds, epoch, shuffle=True)
-        for inputs, labels, weights in batches:
+        for inputs, labels, weights in _host_prefetch_iter(
+            batches, self.config.host_prefetch
+        ):
             if self._preempted and jax.process_count() == 1:
                 break  # multi-host: see the device-resident loop's comment
             if self._lr_step_fn is not None:
@@ -676,7 +743,9 @@ class Trainer:
             batches = self._batches(ds, shuffle=False, rng=rng)
         else:
             batches = self._stream_batches(ds, epoch=0, shuffle=False)
-        for inputs, labels, weights in batches:
+        for inputs, labels, weights in _host_prefetch_iter(
+            batches, self.config.host_prefetch
+        ):
             l, c, n, w = self._eval_step(params, batch_stats, inputs, labels, weights)
             acc.push(l, c, n, w)
         return acc.result()

@@ -443,3 +443,86 @@ def test_orbax_async_checkpoint_backend(tmp_path):
     r2 = resumed.fit(ds, ds, ds, resume=True, progress=None)
     assert r2["history"] == []  # already at the final epoch; nothing replays
     assert "final_test_acc" in r2
+
+
+# ------------------------------------------------------------ host prefetch
+
+
+def test_host_prefetch_iter_preserves_order_and_exhausts():
+    from multimodal_lipread_tpu.train.trainer import _host_prefetch_iter
+
+    for depth in (0, 1, 3):
+        assert list(_host_prefetch_iter(iter(range(17)), depth)) == list(range(17))
+
+
+def test_host_prefetch_iter_propagates_producer_exception():
+    from multimodal_lipread_tpu.train.trainer import _host_prefetch_iter
+
+    def gen():
+        yield 1
+        yield 2
+        raise ValueError("decode failed")
+
+    it = _host_prefetch_iter(gen(), depth=2)
+    assert next(it) == 1
+    assert next(it) == 2
+    with pytest.raises(ValueError, match="decode failed"):
+        next(it)
+
+
+def test_host_prefetch_iter_early_exit_stops_producer():
+    import threading
+
+    from multimodal_lipread_tpu.train.trainer import _host_prefetch_iter
+
+    produced = []
+
+    def gen():
+        for i in range(10_000):
+            produced.append(i)
+            yield i
+
+    it = _host_prefetch_iter(gen(), depth=2)
+    for _ in range(3):
+        next(it)
+    it.close()  # consumer breaks out early → producer must stop, not spin
+    n_after_close = len(produced)
+    assert n_after_close < 100
+    # no stray producer thread left running
+    assert not [t for t in threading.enumerate() if t.name == "mlt-host-prefetch"]
+
+
+def test_host_prefetch_trajectory_identical(tmp_path):
+    """host_prefetch is pure overlap: the FIFO keeps batch order, so the
+    training history must match the inline (depth 0) path exactly."""
+    from flax import linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            return nn.Dense(4)(x.reshape(x.shape[0], -1))
+
+    def run(depth):
+        trainer = Trainer(
+            Tiny(),
+            TrainerConfig(
+                model_name=f"tiny_hp{depth}",
+                num_classes=4,
+                batch_size=16,
+                epochs=2,
+                learning_rate=1e-2,
+                weight_decay=0.0,
+                host_prefetch=depth,
+                metrics_dir=str(tmp_path / f"m{depth}"),
+                checkpoints_dir=str(tmp_path / f"c{depth}"),
+            ),
+        )
+        return trainer.fit(
+            _tiny_dataset(64), _tiny_dataset(32, seed=1), _tiny_dataset(32, seed=2),
+            progress=None,
+        )["history"]
+
+    h0, h2 = run(0), run(2)
+    for e0, e2 in zip(h0, h2):
+        for k in ("train_loss", "val_loss", "test_loss", "train_acc"):
+            assert e0[k] == pytest.approx(e2[k], abs=1e-7), k
