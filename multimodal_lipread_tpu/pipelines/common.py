@@ -23,7 +23,14 @@ from multimodal_lipread_tpu.data.glips import (
     scan_glips,
 )
 from multimodal_lipread_tpu.ops.logmel import log_mel
+from multimodal_lipread_tpu.parallel.distributed import maybe_initialize_distributed
 from multimodal_lipread_tpu.train.trainer import _enable_compile_cache
+
+# Multi-host init MUST precede the first backend query: _enable_compile_cache
+# suffixes the cache path with jax.default_backend(), which initializes the
+# local backend — after which jax.distributed.initialize() refuses to run.
+# Env-var-only detection, idempotent, no-op on single-process runs.
+maybe_initialize_distributed()
 
 # Persistent XLA compile cache from the FIRST device op of any pipeline —
 # not just from Trainer construction. The featurization (log-mel) compiles

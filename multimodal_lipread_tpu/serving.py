@@ -422,12 +422,33 @@ def export_pipeline_stablehlo(
 
 
 def _example_inputs(pipeline: str, config: Any, batch: int):
+    from multimodal_lipread_tpu.data.cues import EMBED_DIMS, canonical_embed_model
+
     input_size = config.get("dataset.input_size", 117)
-    cue_dim = {"minilm": 384}.get(config.get("dataset.embed_model", "mpnet"), 768)
     seq = config.get("dataset.sequence_length", 29)
     mel = np.zeros((batch, 80, input_size), np.float32)
     lips = np.zeros((batch, seq, 44, 44, 3), np.uint8)
-    cue = np.zeros((batch, cue_dim), np.float32)
+    if pipeline == "cues":
+        # the cue CLASSIFIER's input shape follows the model's featurization
+        # kind (models/cues.py CUE_MODEL_SPECS), not dataset.embed_model
+        from multimodal_lipread_tpu.models.cues import CUE_MODEL_SPECS
+
+        kind = CUE_MODEL_SPECS[config.get("model.name", "dense_nn")][1]
+        if kind == "tfidf":
+            raise ValueError(
+                "the 'linear' (TF-IDF) cue model fits its vectorizer on the "
+                "training corpus and cannot be exported from a checkpoint "
+                "alone — use an embedding-based cue model"
+            )
+        if kind == "bert_tok":
+            cue = np.zeros((batch, 32), np.int32)  # token ids
+        elif kind.endswith("_tok"):
+            cue = np.zeros((batch, 32, EMBED_DIMS[kind[:-4]]), np.float32)
+        else:
+            cue = np.zeros((batch, EMBED_DIMS[kind]), np.float32)
+    else:
+        embed = canonical_embed_model(config.get("dataset.embed_model", "mpnet"))
+        cue = np.zeros((batch, EMBED_DIMS[embed]), np.float32)
     return {
         "video": (lips,),
         "audio_video": (mel, lips),

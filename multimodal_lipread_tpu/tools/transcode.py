@@ -35,8 +35,13 @@ AUDIO_SRC_EXTS = (".m4a", ".mp4", ".aac", ".ogg", ".flac", ".mp3")
 
 def _transcode_one(src: str, dst: str, sample_rate: int) -> bool:
     """ffmpeg decode → mono s16 PCM WAV at ``sample_rate``; atomic write."""
+    import threading
+
     os.makedirs(os.path.dirname(dst), exist_ok=True)
-    tmp = f"{dst}.tmp.{os.getpid()}.wav"  # .wav suffix so ffmpeg picks the muxer
+    # pid+tid: unique per worker THREAD too — pool threads racing one dst
+    # (same-stem sources) must never interleave writes or reap each other's
+    # in-flight tmp file. .wav suffix so ffmpeg picks the muxer.
+    tmp = f"{dst}.tmp.{os.getpid()}.{threading.get_ident()}.wav"
     cmd = [
         "ffmpeg", "-v", "error", "-y", "-i", src,
         "-acodec", "pcm_s16le", "-ac", "1", "-ar", str(sample_rate),
@@ -70,7 +75,16 @@ def transcode_paths(
     ffmpeg is CPU-bound in its own process, so a thread pool suffices to
     keep ``workers`` decoders busy while Python stays single-threaded.
     """
-    todo = [(s, d) for s, d in pairs if not _is_current(s, d)]
+    # dedupe by dst (same-stem sources, e.g. foo.m4a + foo.flac → one
+    # foo.wav): first source in input order wins, deterministically —
+    # two concurrent transcodes of one dst would race the final rename
+    seen = set()
+    unique = []
+    for s, d in pairs:
+        if d not in seen:
+            seen.add(d)
+            unique.append((s, d))
+    todo = [(s, d) for s, d in unique if not _is_current(s, d)]
     skipped = len(pairs) - len(todo)
     if todo and not _ffmpeg_available():
         raise RuntimeError(
@@ -101,15 +115,14 @@ def ensure_wav_mirror(
     """
     import dataclasses
 
-    out, pairs, positions = [], [], []
-    for i, e in enumerate(entries):
+    out, pairs = [], []
+    for e in entries:
         if e.path.lower().endswith(".wav"):
             out.append(e)
             continue
         stem = os.path.splitext(os.path.basename(e.path))[0]
         dst = os.path.join(cache_root, e.word, e.split, stem + ".wav")
         pairs.append((e.path, dst))
-        positions.append(i)
         out.append(dataclasses.replace(e, path=dst))
     done, skipped, failed = transcode_paths(pairs, sample_rate, workers)
     if failed:

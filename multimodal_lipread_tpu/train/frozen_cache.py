@@ -37,17 +37,35 @@ def compute_frozen_features(
     params = trainer.state["params"]
     batch_stats = trainer.state["batch_stats"]
 
-    @jax.jit
-    def extract(p, bs, *xs):
-        # device-normalize uint8 lips exactly like the train step
-        xs = tuple(
-            x.astype(np.float32) / 255.0 if x.dtype == np.uint8 else x for x in xs
-        )
-        out = model.apply(
-            {"params": p, "batch_stats": bs}, *xs, train=False,
-            return_frozen_features=True,
-        )
-        return out if isinstance(out, tuple) else (out,)
+    # one jitted extractor per Trainer: the frozen forward is the expensive
+    # video-CNN compile — caching on the trainer means train/val/test splits
+    # (identical shapes) compile it once, not three times
+    extract = getattr(trainer, "_frozen_extract_fn", None)
+    if extract is None:
+        import jax.numpy as jnp
+
+        half = trainer.config.half_precision
+
+        @jax.jit
+        def extract(p, bs, *xs):
+            # normalize/cast inputs EXACTLY like the train step's cast()
+            # (trainer._build_steps) — with half_precision the uncached
+            # frozen forward ran in bf16, so the cache must too, or the
+            # cached trajectory deviates from the uncached one
+            def cast(x):
+                if x.dtype == jnp.uint8:
+                    return x.astype(jnp.bfloat16 if half else jnp.float32) / 255.0
+                if half and jnp.issubdtype(x.dtype, jnp.floating):
+                    return x.astype(jnp.bfloat16)
+                return x
+
+            out = model.apply(
+                {"params": p, "batch_stats": bs}, *(cast(x) for x in xs),
+                train=False, return_frozen_features=True,
+            )
+            return out if isinstance(out, tuple) else (out,)
+
+        trainer._frozen_extract_fn = extract
 
     n = inputs[0].shape[0]
     chunks = None

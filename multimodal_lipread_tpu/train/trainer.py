@@ -953,10 +953,17 @@ class Trainer:
                 # replays the interrupted one from its start, from the
                 # epoch-boundary state snapshot (EXACT replay — scheduler and
                 # best_val_acc are only mutated at epoch end, so their current
-                # values already equal the boundary values)
+                # values already equal the boundary values). Without
+                # handle_preemption there is no boundary snapshot (its per-
+                # epoch D2H gather is not paid) — request_preemption() then
+                # saves the CURRENT state: the replayed epoch's early batches
+                # re-train on slightly-advanced params (approximate resume),
+                # but the checkpoint is always valid.
                 ckpt = {
                     "epoch": epoch - 1,
-                    "state": boundary_state,
+                    "state": boundary_state
+                    if boundary_state is not None
+                    else jax.tree_util.tree_map(np.asarray, self.state),
                     "val_acc": float(best_val_acc),
                     "scheduler_lr": float(self.scheduler.lr),
                     "scheduler_best": float(

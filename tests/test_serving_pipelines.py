@@ -128,3 +128,30 @@ def test_tfidf_cue_model_refuses_serving(tmp_path):
 
     with pytest.raises(ValueError, match="TF-IDF"):
         _featurize_modalities("cues", cfg, [[cue]])
+
+
+def test_example_inputs_follow_model_kind():
+    """Export example shapes: cue dims come from the MODEL's featurization
+    kind (ensemble=1152, token-level=(B,32,D), bert=token ids), and fusion
+    pipelines honor dataset.embed_model via EMBED_DIMS."""
+    from multimodal_lipread_tpu.serving import _example_inputs
+
+    def cfg(**kw):
+        d = {"dataset": {"num_classes": 4}}
+        d.update(kw)
+        return Config.from_dict(d)
+
+    (cue,) = _example_inputs("cues", cfg(model={"name": "transformer"}), 2)
+    assert cue.shape == (2, 1152)  # ensemble = minilm 384 + mpnet 768
+
+    (cue,) = _example_inputs("cues", cfg(model={"name": "minilm_cnn_lstm"}), 2)
+    assert cue.shape == (2, 32, 768) and cue.dtype == np.float32
+
+    (cue,) = _example_inputs("cues", cfg(model={"name": "bert"}), 2)
+    assert cue.shape == (2, 32) and cue.dtype == np.int32
+
+    with pytest.raises(ValueError, match="TF-IDF"):
+        _example_inputs("cues", cfg(model={"name": "linear"}), 2)
+
+    mel, cue = _example_inputs("audio_cues", cfg(dataset={"embed_model": "minilm"}), 2)
+    assert cue.shape == (2, 384)

@@ -526,3 +526,56 @@ def test_host_prefetch_trajectory_identical(tmp_path):
     for e0, e2 in zip(h0, h2):
         for k in ("train_loss", "val_loss", "test_loss", "train_acc"):
             assert e0[k] == pytest.approx(e2[k], abs=1e-7), k
+
+
+def test_preemption_without_handle_preemption_saves_valid_state(tmp_path):
+    """request_preemption with handle_preemption=False (no epoch-boundary
+    snapshot) must still write a VALID rolling checkpoint — the current
+    state, approximate resume — never `state: None`."""
+    train_ds = _tiny_dataset(96, seed=0)
+    val_ds = _tiny_dataset(32, seed=1)
+    test_ds = _tiny_dataset(32, seed=2)
+
+    def make_trainer():
+        return Trainer(
+            _mlp_module(),
+            TrainerConfig(
+                model_name="pre_nh", num_classes=4, batch_size=16, epochs=4,
+                learning_rate=1e-2, weight_decay=0.0,
+                metrics_dir=str(tmp_path / "metrics"),
+                checkpoints_dir=str(tmp_path / "ckpt"),
+                handle_preemption=False, rolling_checkpoint=True,
+            ),
+        )
+
+    trainer = make_trainer()
+    hits = {"n": 0}
+
+    def progress(msg):
+        if msg.startswith("Epoch"):
+            hits["n"] += 1
+            if hits["n"] == 1:  # preempt during epoch 2's train pass
+                trainer.request_preemption()
+
+    result = trainer.fit(train_ds, val_ds, test_ds, progress=progress)
+    assert result.get("preempted") is True
+
+    from multimodal_lipread_tpu.train.checkpoint import load_checkpoint
+
+    tpl = {
+        "epoch": 0,
+        "state": jax.tree_util.tree_map(np.asarray, trainer.state),
+        "val_acc": 0.0, "scheduler_lr": 0.0, "scheduler_best": 0.0,
+        "scheduler_has_best": False, "scheduler_bad_epochs": 0,
+        "best_val_acc": 0.0,
+    }
+    ckpt = load_checkpoint(str(tmp_path / "ckpt" / "pre_nh_checkpoint.msgpack"), tpl)
+    assert int(ckpt["epoch"]) == 1
+    # the saved params are the REAL current params, not an empty tree
+    leaves = jax.tree_util.tree_leaves(ckpt["state"]["params"])
+    assert leaves and all(np.isfinite(l).all() for l in leaves)
+
+    resumed = make_trainer()
+    result2 = resumed.fit(train_ds, val_ds, test_ds, resume=True, progress=None)
+    assert [h["epoch"] for h in result2["history"]] == [2, 3, 4]
+    assert "final_test_acc" in result2
