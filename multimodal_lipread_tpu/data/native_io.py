@@ -26,17 +26,61 @@ _load_failed = False
 
 DEFAULT_THREADS = min(16, os.cpu_count() or 4)
 
+# must match native/mlt_io.cpp::mlt_io_version() — a stale gitignored .so
+# built from older source is rebuilt, not loaded (its missing/changed
+# symbols would otherwise crash callers instead of falling back)
+_EXPECTED_VERSION = 3
 
-def _build() -> bool:
+
+def _build(force: bool = False) -> bool:
     try:
-        subprocess.run(["make", "-C", _NATIVE_DIR], check=True, capture_output=True)
+        cmd = ["make", "-B", "-C", _NATIVE_DIR] if force else ["make", "-C", _NATIVE_DIR]
+        subprocess.run(cmd, check=True, capture_output=True)
         return os.path.exists(_LIB_PATH)
     except Exception:
         return False
 
 
+def _bind(lib: ctypes.CDLL) -> None:
+    """Declare signatures; raises AttributeError on a stale library."""
+    lib.mlt_io_version.restype = ctypes.c_int
+    lib.mlt_io_version.argtypes = []
+    lib.mlt_load_wav_batch.restype = ctypes.c_longlong
+    lib.mlt_load_wav_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_longlong, ctypes.c_int,
+        ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    lib.mlt_load_npy_u8_batch.restype = ctypes.c_longlong
+    lib.mlt_load_npy_u8_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_longlong, ctypes.c_longlong,
+        ctypes.c_float, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
+    ]
+    lib.mlt_prefetch_create.restype = ctypes.c_void_p
+    lib.mlt_prefetch_create.argtypes = [
+        ctypes.POINTER(ctypes.c_char_p), ctypes.c_longlong, ctypes.c_int,
+        ctypes.c_longlong, ctypes.c_int, ctypes.c_longlong, ctypes.c_int,
+    ]
+    lib.mlt_prefetch_start.restype = None
+    lib.mlt_prefetch_start.argtypes = [
+        ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong,
+    ]
+    lib.mlt_prefetch_next.restype = ctypes.c_longlong
+    lib.mlt_prefetch_next.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
+    ]
+    lib.mlt_prefetch_first_error.restype = ctypes.c_longlong
+    lib.mlt_prefetch_first_error.argtypes = [ctypes.c_void_p]
+    lib.mlt_prefetch_destroy.restype = None
+    lib.mlt_prefetch_destroy.argtypes = [ctypes.c_void_p]
+
+
 def get_lib() -> Optional[ctypes.CDLL]:
-    """Load (building if needed) the native library; None if unavailable."""
+    """Load (building if needed) the native library; None if unavailable.
+
+    A library whose ``mlt_io_version`` is missing (AttributeError) or stale
+    triggers ONE forced rebuild + reload; if that still mismatches, callers
+    fall back to pure Python rather than crash on absent symbols.
+    """
     global _lib, _load_failed
     with _lock:
         if _lib is not None or _load_failed:
@@ -44,39 +88,24 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if not os.path.exists(_LIB_PATH) and not _build():
             _load_failed = True
             return None
-        try:
-            lib = ctypes.CDLL(_LIB_PATH)
-            lib.mlt_load_wav_batch.restype = ctypes.c_longlong
-            lib.mlt_load_wav_batch.argtypes = [
-                ctypes.POINTER(ctypes.c_char_p), ctypes.c_longlong, ctypes.c_int,
-                ctypes.c_int, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-            ]
-            lib.mlt_load_npy_u8_batch.restype = ctypes.c_longlong
-            lib.mlt_load_npy_u8_batch.argtypes = [
-                ctypes.POINTER(ctypes.c_char_p), ctypes.c_longlong, ctypes.c_longlong,
-                ctypes.c_float, ctypes.POINTER(ctypes.c_float), ctypes.c_int,
-            ]
-            lib.mlt_prefetch_create.restype = ctypes.c_void_p
-            lib.mlt_prefetch_create.argtypes = [
-                ctypes.POINTER(ctypes.c_char_p), ctypes.c_longlong, ctypes.c_int,
-                ctypes.c_longlong, ctypes.c_int, ctypes.c_longlong, ctypes.c_int,
-            ]
-            lib.mlt_prefetch_start.restype = None
-            lib.mlt_prefetch_start.argtypes = [
-                ctypes.c_void_p, ctypes.POINTER(ctypes.c_longlong), ctypes.c_longlong,
-            ]
-            lib.mlt_prefetch_next.restype = ctypes.c_longlong
-            lib.mlt_prefetch_next.argtypes = [
-                ctypes.c_void_p, ctypes.c_void_p, ctypes.c_longlong,
-            ]
-            lib.mlt_prefetch_first_error.restype = ctypes.c_longlong
-            lib.mlt_prefetch_first_error.argtypes = [ctypes.c_void_p]
-            lib.mlt_prefetch_destroy.restype = None
-            lib.mlt_prefetch_destroy.argtypes = [ctypes.c_void_p]
-            _lib = lib
-        except OSError:
-            _load_failed = True
-        return _lib
+        for attempt in (0, 1):
+            try:
+                lib = ctypes.CDLL(_LIB_PATH)
+                _bind(lib)
+                if lib.mlt_io_version() != _EXPECTED_VERSION:
+                    raise AttributeError(
+                        f"mlt_io_version {lib.mlt_io_version()} != {_EXPECTED_VERSION}"
+                    )
+                _lib = lib
+                return _lib
+            except (OSError, AttributeError):
+                # stale .so from older source — rebuild once and retry
+                # (g++ writes a new inode, so the reload is not dlopen-cached)
+                if attempt == 0 and _build(force=True):
+                    continue
+                break
+        _load_failed = True
+        return None
 
 
 def _paths_array(paths: Sequence[str]):
@@ -163,14 +192,27 @@ class NativePrefetcher:
         self.record_shape = tuple(int(s) for s in record_shape)
         self.dtype = np.uint8 if kind == "npy_u8" else np.float32
         elems = int(np.prod(self.record_shape))
-        self._paths_keepalive = _paths_array(paths)  # ctypes must outlive handle
+        # serializes every C call on this handle: close() must never run
+        # mlt_prefetch_destroy while another thread is inside _next (the C++
+        # side wakes blocked consumers on stop, but freeing the Prefetcher
+        # under a still-returning call would be a race)
+        self._op_lock = threading.Lock()
+        # C++ copies paths into std::string synchronously during create —
+        # the ctypes array is a plain local
         self._handle = lib.mlt_prefetch_create(
-            self._paths_keepalive, len(paths), 0 if kind == "npy_u8" else 1,
+            _paths_array(paths), len(paths), 0 if kind == "npy_u8" else 1,
             elems, sample_rate, capacity, n_threads,
         )
         if not self._handle:
             raise RuntimeError("mlt_prefetch_create failed")
         self.n_files = len(paths)
+
+    def _require_handle(self):
+        h = getattr(self, "_handle", None)
+        if not h:
+            # explicit error instead of passing NULL into C (segfault)
+            raise RuntimeError("NativePrefetcher is closed")
+        return h
 
     def start_epoch(self, order: np.ndarray) -> None:
         order = np.ascontiguousarray(order, np.int64)
@@ -182,18 +224,21 @@ class NativePrefetcher:
                 f"epoch order indices must be in [0, {self.n_files}); got "
                 f"range [{order.min()}, {order.max()}]"
             )
-        self._order_keepalive = order  # must outlive the epoch
-        self._lib.mlt_prefetch_start(
-            self._handle, order.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
-            order.size,
-        )
+        with self._op_lock:
+            # C++ copies order synchronously (order.assign) — no keepalive
+            self._lib.mlt_prefetch_start(
+                self._require_handle(),
+                order.ctypes.data_as(ctypes.POINTER(ctypes.c_longlong)),
+                order.size,
+            )
 
     def next_batch(self, k: int) -> Optional[np.ndarray]:
         """The next ≤k records in epoch order; None when the epoch is done."""
         out = np.empty((k,) + self.record_shape, self.dtype)
-        got = self._lib.mlt_prefetch_next(
-            self._handle, out.ctypes.data_as(ctypes.c_void_p), k
-        )
+        with self._op_lock:
+            got = self._lib.mlt_prefetch_next(
+                self._require_handle(), out.ctypes.data_as(ctypes.c_void_p), k
+            )
         if got == 0:
             return None
         return out[:got]
@@ -201,12 +246,14 @@ class NativePrefetcher:
     @property
     def first_error(self) -> int:
         """Index of the first failed read this epoch, or -1."""
-        return int(self._lib.mlt_prefetch_first_error(self._handle))
+        with self._op_lock:
+            return int(self._lib.mlt_prefetch_first_error(self._require_handle()))
 
     def close(self) -> None:
-        if getattr(self, "_handle", None):
-            self._lib.mlt_prefetch_destroy(self._handle)
-            self._handle = None
+        with getattr(self, "_op_lock", threading.Lock()):
+            if getattr(self, "_handle", None):
+                self._lib.mlt_prefetch_destroy(self._handle)
+                self._handle = None
 
     def __del__(self):  # best-effort; close() is the real API
         try:

@@ -884,23 +884,28 @@ class Trainer:
 
         start_epoch = 1
         best_val_acc = -1.0
-        ckpt_template = {
-            "epoch": 0,
-            "state": jax.tree_util.tree_map(np.asarray, self.state),
-            "val_acc": 0.0,
-            "scheduler_lr": float(self.scheduler.lr),
-            "scheduler_best": 0.0,
-            "scheduler_has_best": False,
-            "scheduler_bad_epochs": 0,
-            "best_val_acc": -1.0,
-        }
+
+        def ckpt_template():
+            # restore template for _load_ckpt — built LAZILY: the full-state
+            # D2H gather (params + Adam moments, ~3x model size) is paid only
+            # on the resume and final-best-reload paths that actually need it
+            return {
+                "epoch": 0,
+                "state": jax.tree_util.tree_map(np.asarray, self.state),
+                "val_acc": 0.0,
+                "scheduler_lr": float(self.scheduler.lr),
+                "scheduler_best": 0.0,
+                "scheduler_has_best": False,
+                "scheduler_bad_epochs": 0,
+                "best_val_acc": -1.0,
+            }
+
         rolling_path = self._ckpt_path("checkpoint")
         best_path = self._ckpt_path("best")
         if resume and os.path.exists(rolling_path):
-            ckpt = self._load_ckpt(rolling_path, ckpt_template)
+            ckpt = self._load_ckpt(rolling_path, ckpt_template())
             self.state = replicate(self.mesh, ckpt["state"])
             start_epoch = int(ckpt["epoch"]) + 1
-            best_val_acc = float(ckpt["val_acc"])
             self.scheduler.lr = float(ckpt["scheduler_lr"])
             # restore the FULL plateau state so a resumed run reduces the LR
             # exactly when an uninterrupted run would have
@@ -918,6 +923,15 @@ class Trainer:
                 progress(f"Resumed from {rolling_path} at epoch {start_epoch}")
 
         data_rng = np.random.default_rng(cfg.seed)
+        # exact-replay determinism: each completed epoch consumed ONE
+        # permutation draw (_batches/_index_batches), so a resumed run must
+        # skip the same draws — otherwise the replayed epoch k trains on
+        # epoch 1's shuffle order and the trajectory deviates from an
+        # uninterrupted run. (Streaming datasets seed per-epoch and don't
+        # touch data_rng.)
+        if start_epoch > 1 and isinstance(train_ds, ArrayDataset):
+            for _ in range(start_epoch - 1):
+                data_rng.permutation(len(train_ds))
         base_rng = jax.random.PRNGKey(cfg.seed + 1)
         history: List[Dict[str, float]] = []
 
@@ -1041,7 +1055,7 @@ class Trainer:
 
         result: Dict[str, Any] = {"history": history, "best_val_acc": best_val_acc}
         if test_ds is not None and os.path.exists(best_path):
-            best = self._load_ckpt(best_path, ckpt_template)
+            best = self._load_ckpt(best_path, ckpt_template())
             best_state = replicate(self.mesh, best["state"])
             final = self.evaluate(
                 test_ds, params=best_state["params"], batch_stats=best_state["batch_stats"]

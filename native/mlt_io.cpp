@@ -373,7 +373,11 @@ long long mlt_prefetch_next(void* handle, void* out, long long k) {
         std::unique_lock<std::mutex> lk(pf->m);
         if (pf->next_consume >= pf->n_epoch) break;
         long long slot = pf->next_consume % pf->capacity;
-        pf->cv_ready.wait(lk, [&] { return pf->state[slot] != 0; });
+        // stop-aware: destroy() must be able to wake a blocked consumer
+        // (otherwise it would join workers and delete the Prefetcher while
+        // this thread still waits on its condvar — use-after-free)
+        pf->cv_ready.wait(lk, [&] { return pf->state[slot] != 0 || pf->stop; });
+        if (pf->stop) break;
         std::memcpy(dst + delivered * pf->record_bytes(), pf->slots[slot].data(),
                     pf->record_bytes());
         pf->state[slot] = 0;
@@ -398,10 +402,11 @@ void mlt_prefetch_destroy(void* handle) {
         pf->stop = true;
     }
     pf->cv_space.notify_all();
+    pf->cv_ready.notify_all();  // wake any consumer blocked in _next
     for (auto& t : pf->workers) t.join();
     delete pf;
 }
 
-int mlt_io_version() { return 2; }
+int mlt_io_version() { return 3; }
 
 }  // extern "C"

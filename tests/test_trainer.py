@@ -579,3 +579,49 @@ def test_preemption_without_handle_preemption_saves_valid_state(tmp_path):
     result2 = resumed.fit(train_ds, val_ds, test_ds, resume=True, progress=None)
     assert [h["epoch"] for h in result2["history"]] == [2, 3, 4]
     assert "final_test_acc" in result2
+
+
+def test_preemption_resume_exact_replay(tmp_path):
+    """With handle_preemption (epoch-boundary snapshot) the resumed run must
+    reproduce the uninterrupted trajectory EXACTLY — including the shuffle
+    order of the replayed epoch (data_rng is advanced past the completed
+    epochs' permutation draws on resume)."""
+    train_ds = _tiny_dataset(96, seed=0)
+    val_ds = _tiny_dataset(32, seed=1)
+    test_ds = _tiny_dataset(32, seed=2)
+
+    def make_trainer(tag):
+        return Trainer(
+            _mlp_module(),
+            TrainerConfig(
+                model_name=f"replay_{tag}", num_classes=4, batch_size=16,
+                epochs=3, learning_rate=1e-2, weight_decay=0.0,
+                metrics_dir=str(tmp_path / tag / "metrics"),
+                checkpoints_dir=str(tmp_path / tag / "ckpt"),
+                handle_preemption=True, rolling_checkpoint=True,
+            ),
+        )
+
+    # A: uninterrupted 3 epochs
+    ref = make_trainer("a").fit(train_ds, val_ds, test_ds, progress=None)
+
+    # B: preempt during epoch 2, then resume to completion
+    trainer = make_trainer("b")
+    hits = {"n": 0}
+
+    def progress(msg):
+        if msg.startswith("Epoch"):
+            hits["n"] += 1
+            if hits["n"] == 1:
+                trainer.request_preemption()
+
+    r1 = trainer.fit(train_ds, val_ds, test_ds, progress=progress)
+    assert r1.get("preempted") is True and len(r1["history"]) == 1
+    r2 = make_trainer("b").fit(train_ds, val_ds, test_ds, resume=True, progress=None)
+
+    replayed = {h["epoch"]: h for h in r1["history"] + r2["history"]}
+    for h in ref["history"]:
+        got = replayed[h["epoch"]]
+        for k in ("train_loss", "train_acc", "val_loss", "val_acc"):
+            assert got[k] == pytest.approx(h[k], abs=1e-6), (h["epoch"], k)
+    assert r2["final_test_acc"] == pytest.approx(ref["final_test_acc"], abs=1e-6)
