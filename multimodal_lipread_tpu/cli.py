@@ -21,10 +21,7 @@ def _pipeline_main(name: str) -> int:
     from multimodal_lipread_tpu.pipelines.common import parse_cli
 
     cfg = parse_cli()
-    if name == "cues":
-        mod.main(cfg)
-    else:
-        mod.main(cfg, resume=bool(cfg.get("_cli.resume", False)))
+    mod.main(cfg, resume=bool(cfg.get("_cli.resume", False)))
     return 0
 
 

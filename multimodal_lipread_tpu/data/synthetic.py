@@ -81,7 +81,7 @@ def _synth_waveform(
 
 
 def _synth_lip_sequence(
-    rng: np.random.Generator, class_idx: int, hardness: float = 0.0
+    rng: np.random.Generator, class_idx: int, num_classes: int = 4, hardness: float = 0.0
 ) -> np.ndarray:
     """(29, 44, 44, 3) uint8 with class-conditional brightness + stripe texture.
 
@@ -96,7 +96,7 @@ def _synth_lip_sequence(
     # video is deliberately the hardest modality (BASELINE.md: 45.5%).
     # hardness == 0 reproduces the round-2 fixture bit-for-bit
     if hardness > 0 and rng.uniform() < 0.5 * hardness:
-        class_idx = int(rng.integers(4))
+        class_idx = int(rng.integers(num_classes))
     sep = 40.0 * (1.0 - 0.85 * hardness)
     base = 40 + sep * class_idx
     if hardness > 0:
@@ -114,19 +114,26 @@ def _synth_lip_sequence(
 
 
 def _synth_description(
-    rng: np.random.Generator, mode: str, class_idx: int, hardness: float = 0.0
+    rng: np.random.Generator, mode: str, class_idx: int,
+    num_classes: int = 4, hardness: float = 0.0
 ) -> str:
     """``hardness`` makes a fraction of descriptions draw their adjectives
     from the WHOLE vocabulary instead of the class's own slice — an
-    irreducible ambiguity that caps cue-only accuracy below 100%."""
+    irreducible ambiguity that caps cue-only accuracy below 100%.
+
+    The class slice has stride ``len(_ADJ) // num_classes`` (== 2 for the
+    default 4 classes — same rng stream as the round-2 fixture). Beyond 4
+    classes neighbouring slices overlap by one word (the 8-word vocab can't
+    give 2 private words to >4 classes); they never fully alias."""
     tmpl = (_EMOTION_TEMPLATES if mode == "emotion" else _ENV_TEMPLATES)[int(rng.integers(3))]
     # hardness == 0 keeps the round-2 rng stream untouched
     if hardness > 0 and rng.uniform() < 0.65 * hardness:
         adj = _ADJ[int(rng.integers(len(_ADJ)))]
         feat = _FEAT[int(rng.integers(len(_FEAT)))]
     else:
-        adj = _ADJ[(2 * class_idx + int(rng.integers(2))) % len(_ADJ)]
-        feat = _FEAT[(2 * class_idx + int(rng.integers(2))) % len(_FEAT)]
+        stride = max(1, len(_ADJ) // max(1, num_classes))
+        adj = _ADJ[(stride * class_idx + int(rng.integers(2))) % len(_ADJ)]
+        feat = _FEAT[(stride * class_idx + int(rng.integers(2))) % len(_FEAT)]
     return tmpl.format(adj=adj, feat=feat)
 
 
@@ -191,14 +198,16 @@ def make_synthetic_glips(
                 if with_lip_regions:
                     npy_path = os.path.join(lip_root, "lipread_files", word, split, stem + ".npy")
                     os.makedirs(os.path.dirname(npy_path), exist_ok=True)
-                    np.save(npy_path, _synth_lip_sequence(rng, sig_ci, h_video))
+                    np.save(npy_path, _synth_lip_sequence(rng, sig_ci, len(words), h_video))
                 if with_cues:
                     for mode in ("emotion", "environment"):
                         cue_records[(mode, word, split)].append(
                             {
                                 "word": word,
                                 "sequence_id": sid,
-                                "description": _synth_description(rng, mode, sig_ci, h_cues),
+                                "description": _synth_description(
+                                    rng, mode, sig_ci, len(words), h_cues
+                                ),
                             }
                         )
 

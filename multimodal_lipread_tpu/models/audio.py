@@ -114,9 +114,10 @@ class _LSTMResNetStem(nn.Module):
     """Shared stem of the lstm_resnet family: per-mel-row BiLSTM → ResNet18 → FC.
 
     (reference: audio/models/lstm_resnet_model.py:10-35 and copies.)
+    The stem is shape-agnostic — the reference's input_size only sizes its
+    torch Linear; here the row-BiLSTM/ResNet path needs no static dim.
     """
 
-    input_size: int
     proj_dim: int = 256
     dropout_rate: float = 0.3
     use_batchnorm: bool = True
@@ -149,7 +150,7 @@ class LSTMResNet(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        stem = _LSTMResNetStem(self.input_size, 256, self.dropout_rate, self.use_batchnorm,
+        stem = _LSTMResNetStem(256, self.dropout_rate, self.use_batchnorm,
                                dtype=self.dtype, name="stem")(x, train)
         seq = stem[:, None, :]
         out = BiLSTM(128, 2, dtype=self.dtype, name="final_bilstm")(seq)
@@ -167,7 +168,7 @@ class DeepAudioNetWithAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        stem = _LSTMResNetStem(self.input_size, 256, self.dropout_rate, self.use_batchnorm,
+        stem = _LSTMResNetStem(256, self.dropout_rate, self.use_batchnorm,
                                dtype=self.dtype, name="stem")(x, train)
         seq = jnp.repeat(stem[:, None, :], 10, axis=1)  # fake 10-step sequence
         out = BiLSTM(128, 2, dtype=self.dtype, name="final_bilstm")(seq)
@@ -192,7 +193,7 @@ class LSTMResNetWithTransformer(nn.Module):
     def __call__(self, x, train: bool = False):
         if x.ndim == 4:
             x = x.squeeze(1)
-        stem = _LSTMResNetStem(self.input_size, self.transformer_dim, self.dropout_rate,
+        stem = _LSTMResNetStem(self.transformer_dim, self.dropout_rate,
                                self.use_batchnorm, dtype=self.dtype, name="stem")(x, train)
         seq = jnp.repeat(stem[:, None, :], self.seq_len, axis=1)
         seq = PositionalEncoding(self.transformer_dim, max_len=self.seq_len, name="pos")(seq)

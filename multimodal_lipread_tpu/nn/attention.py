@@ -65,7 +65,9 @@ class PositionalEncoding(nn.Module):
 
 
 class MultiHeadSelfAttention(nn.Module):
-    """nn.MultiheadAttention-equivalent self-attention returning (out, weights=None)."""
+    """nn.MultiheadAttention-equivalent self-attention; returns the (B, T, D)
+    attention output (torch's second return value, the weights, is omitted —
+    no caller uses it)."""
 
     num_heads: int
     dtype: Any = jnp.float32

@@ -103,9 +103,13 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             }
     else:
         datasets, index = load_audio_datasets(root_dir, input_size=input_size)
-    assert len(index.classes) == num_classes, (
-        f"config says {num_classes} classes but found {len(index.classes)}: {index.classes}"
-    )
+    if len(index.classes) != num_classes:
+        # explicit raise (not assert — stripped under python -O): training
+        # with a mismatched head silently mislabels every example
+        raise ValueError(
+            f"config says {num_classes} classes but found "
+            f"{len(index.classes)}: {index.classes}"
+        )
 
     # model.use_batchnorm=False reproduces the reference's models_without_reg
     # ablation copies (reference: audio/models_without_reg/) without

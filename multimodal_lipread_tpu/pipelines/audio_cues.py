@@ -86,15 +86,20 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
         TrainerConfig(
             model_name=model_name,
             num_classes=num_classes,
-            batch_size=cfg.get("train.batch", 32),
-            epochs=cfg.get("train.epochs", 5),
-            learning_rate=cfg.get("train.lr", 1e-3),
-            weight_decay=cfg.get("train.weight_decay", 0.0),
+            # reference schema first (ac_config.yaml uses train.batch/lr/
+            # epochs), this repo's common training.* keys as fallback —
+            # same dual-schema handling as cues_video / audio_cues_video
+            batch_size=cfg.get("train.batch", cfg.get("training.batch_size", 32)),
+            epochs=cfg.get("train.epochs", cfg.get("training.epochs", 5)),
+            learning_rate=cfg.get("train.lr", cfg.get("training.learning_rate", 1e-3)),
+            weight_decay=cfg.get(
+                "train.weight_decay", cfg.get("training.weight_decay", 0.0)
+            ),
             # reference: audio_cues/train.py:137 ReduceLROnPlateau(min, 0.5, 3)
             scheduler_mode="min",
             scheduler_factor=0.5,
             scheduler_patience=3,
-            seed=cfg.get("train.seed", 0),
+            seed=cfg.get("train.seed", cfg.get("training.seed", 0)),
             metrics_dir=metrics_dir,
             checkpoints_dir=ckpt_dir,
             test_every_epoch=True,

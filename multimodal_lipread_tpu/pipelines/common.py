@@ -53,9 +53,18 @@ def compute_logmel_features(
     out: List[np.ndarray] = []
     n = waves.shape[0]
     for start in range(0, n, chunk):
-        batch = jnp.asarray(waves[start : start + chunk], jnp.float32)
+        rows = waves[start : start + chunk]
+        k = rows.shape[0]
+        if k < chunk and n > chunk:
+            # pad the final short chunk to the ALREADY-COMPILED shape and
+            # trim after — normalization is per-clip, so padding rows can't
+            # leak; a ragged remainder would force a second multi-minute
+            # XLA compile on remote/tunneled backends. Datasets smaller than
+            # one chunk keep their single ragged compile.
+            rows = np.concatenate([rows, np.repeat(rows[:1], chunk - k, axis=0)])
+        batch = jnp.asarray(rows, jnp.float32)
         mel = log_mel(batch, normalize=True, impl=impl)  # (b, 80, 126)
-        out.append(np.asarray(mel[:, :MEL_BINS, :input_size]))
+        out.append(np.asarray(mel[:k, :MEL_BINS, :input_size]))
     return np.concatenate(out, axis=0) if out else np.zeros((0, MEL_BINS, input_size), np.float32)
 
 

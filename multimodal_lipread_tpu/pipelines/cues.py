@@ -38,7 +38,10 @@ def balanced_class_weights(labels: np.ndarray, num_classes: int) -> np.ndarray:
     return (len(labels) / (num_classes * counts)).astype(np.float32)
 
 
-def _featurize(records: List[CueRecord], kind: str, cache_dir: str | None) -> np.ndarray:
+def _featurize(
+    records: List[CueRecord], kind: str, cache_dir: str | None,
+    bert_size: str = "tiny",
+) -> np.ndarray:
     descs = [r.description for r in records]
     if kind == "tfidf":
         from sklearn.feature_extraction.text import TfidfVectorizer
@@ -48,7 +51,13 @@ def _featurize(records: List[CueRecord], kind: str, cache_dir: str | None) -> np
     if kind == "bert_tok":
         from multimodal_lipread_tpu.models.bert import tokenize_texts
 
-        return tokenize_texts(descs)
+        # the tokenizer must match the classifier's vocab: the default tiny
+        # BERT has vocab 8192 (bert_tiny_config) — HF bert-base ids (up to
+        # 30521) would be silently clamped by Embed into garbage rows.
+        # bert_size='base' (real fine-tuning) uses the HF tokenizer.
+        return tokenize_texts(
+            descs, hf_model="bert-base-uncased" if bert_size == "base" else None
+        )
     if kind.endswith("_tok"):
         return embed_cached(descs, model=kind[:-4], cache_dir=cache_dir, token_level=True)
     return embed_cached(descs, model=kind, cache_dir=cache_dir)
@@ -62,6 +71,7 @@ def load_cue_classification_data(
     val_fraction: float = 0.1,
     seed: int = 42,
     use_file_splits: bool = False,
+    bert_size: str = "tiny",
 ) -> Tuple[Dict[str, ArrayDataset], List[str]]:
     records = load_cue_records(cue_root, mode)
     if not records:
@@ -69,7 +79,7 @@ def load_cue_classification_data(
     classes = sorted({r.word for r in records})
     class_to_idx = {w: i for i, w in enumerate(classes)}
 
-    feats = _featurize(records, kind, cache_dir)
+    feats = _featurize(records, kind, cache_dir, bert_size=bert_size)
     labels = np.asarray([class_to_idx[r.word] for r in records], np.int32)
 
     datasets: Dict[str, ArrayDataset] = {}
@@ -96,7 +106,7 @@ def load_cue_classification_data(
 
 
 
-def main(config: Config | str) -> Dict[str, Any]:
+def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     if isinstance(config, str):
         from multimodal_lipread_tpu.config import load_config
 
@@ -114,6 +124,7 @@ def main(config: Config | str) -> Dict[str, Any]:
         val_fraction=cfg.get("training.val_fraction", 0.1),
         seed=cfg.get("training.split_seed", 42),
         use_file_splits=cfg.get("dataset.use_file_splits", False),
+        bert_size=cfg.get("model.bert_size", "tiny"),
     )
     num_classes = len(classes)
     class_weights = balanced_class_weights(datasets["train"].labels, num_classes)
@@ -145,12 +156,18 @@ def main(config: Config | str) -> Dict[str, Any]:
             log_columns="train_val",  # reference: dense.py:82-103
             test_every_epoch=False,
             class_weights=class_weights,
+            # opt-in per-epoch checkpoint so --resume has something to
+            # resume from (the reference cue trainers save best-val only)
+            rolling_checkpoint=cfg.get("training.rolling_checkpoint", False),
         ),
     )
-    result = trainer.fit(datasets["train"], datasets["val"], datasets.get("test"))
+    result = trainer.fit(
+        datasets["train"], datasets["val"], datasets.get("test"), resume=resume
+    )
     maybe_plot(cfg, metrics_dir)
     return result
 
 
 if __name__ == "__main__":
-    main(parse_cli())
+    _cfg = parse_cli()
+    main(_cfg, resume=bool(_cfg.get("_cli.resume", False)))

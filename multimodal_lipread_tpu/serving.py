@@ -323,7 +323,8 @@ def _featurize_modalities(pipeline: str, config: Any, groups: Sequence[Sequence[
                         self.description = d
 
                 feats = _featurize([_R(t) for t in texts], kind,
-                                   config.get("dataset.cache_dir"))
+                                   config.get("dataset.cache_dir"),
+                                   bert_size=config.get("model.bert_size", "tiny"))
                 inputs.append(np.asarray(feats))
             else:
                 from multimodal_lipread_tpu.data.cues import embed_cached
