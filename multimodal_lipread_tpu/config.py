@@ -13,9 +13,32 @@ Extensions over the reference:
 from __future__ import annotations
 
 import os
+import re
 from typing import Any, Dict, Optional
 
 import yaml
+
+# YAML 1.1 (PyYAML) resolves floats only when the mantissa has a '.', so the
+# common shorthands ``1e-3`` / ``5e4`` load as STRINGS and crash numeric
+# consumers (optax got "bad operand type for unary -: 'str'"). Normalize
+# such scalars to float after parsing — applied to loaded files and CLI
+# ``--set`` values alike.
+_SCI_FLOAT = re.compile(r"^[-+]?(\d+(\.\d*)?|\.\d+)[eE][-+]?\d+$")
+
+
+def coerce_yaml_scalar(value: Any) -> Any:
+    """float-ify scientific-notation strings PyYAML left unparsed."""
+    if isinstance(value, str) and _SCI_FLOAT.match(value):
+        return float(value)
+    return value
+
+
+def _coerce_tree(node: Any) -> Any:
+    if isinstance(node, dict):
+        return {k: _coerce_tree(v) for k, v in node.items()}
+    if isinstance(node, list):
+        return [_coerce_tree(v) for v in node]
+    return coerce_yaml_scalar(node)
 
 
 class Config:
@@ -43,7 +66,7 @@ class Config:
             raise FileNotFoundError(f"Config file not found: {self.config_path}")
         with open(self.config_path, "r") as f:
             config = yaml.safe_load(f)
-        return config or {}
+        return _coerce_tree(config) or {}
 
     def get(self, key: str, default: Optional[Any] = None) -> Any:
         """Get a value by dot-path key (e.g. ``model.name``)."""

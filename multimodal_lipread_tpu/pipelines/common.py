@@ -249,7 +249,9 @@ def parse_cli(default_config: Optional[str] = None) -> Config:
         try:
             import yaml
 
-            value = yaml.safe_load(value)
+            from multimodal_lipread_tpu.config import coerce_yaml_scalar
+
+            value = coerce_yaml_scalar(yaml.safe_load(value))
         except Exception:
             pass
         cfg.set(key, value)

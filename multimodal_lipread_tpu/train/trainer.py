@@ -269,6 +269,22 @@ def _enable_compile_cache() -> None:
         # may not support (observed XLA 'could lead to SIGILL' warning when
         # sharing one directory across axon and cpu processes).
         path = f"{path}-{jax.default_backend()}"
+        if jax.default_backend() == "cpu":
+            # XLA:CPU AOT results embed the COMPILING host's vector features
+            # (avx512/amx/prefer-no-gather...) and the persistent-cache key
+            # does not; loading them on a lesser host risks SIGILL (XLA only
+            # warns). Sessions of this project migrate between hosts, so key
+            # the CPU cache by the host's own feature set.
+            import hashlib
+
+            try:
+                with open("/proc/cpuinfo") as f:
+                    flags = next(
+                        (l for l in f if l.startswith("flags")), ""
+                    )
+            except OSError:
+                flags = ""
+            path = f"{path}-{hashlib.sha1(flags.encode()).hexdigest()[:8]}"
         jax.config.update("jax_compilation_cache_dir", path)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception:
