@@ -65,7 +65,6 @@ def convert_resnet(src: Any, version: int = 18) -> Dict[str, Any]:
     bottleneck = version >= 50
     params: Dict[str, Any] = {"conv1": _conv(sd, "conv1")}
     stats: Dict[str, Any] = {}
-    params["bn1"], s = {"BatchNorm_0": None}, None  # placeholder replaced below
     bn_p, bn_s = _bn(sd, "bn1")
     params["bn1"] = {"BatchNorm_0": bn_p}
     stats["bn1"] = {"BatchNorm_0": bn_s}
