@@ -65,6 +65,24 @@ REFERENCE = {
 FAMILY_ORDER = ["audio", "video", "audio_video", "cues", "audio_cues",
                 "cues_video", "audio_cues_video"]
 
+FAMILY_NOTES = {
+    "audio_cues": (
+        "The reference never demonstrated this family: its only committed log "
+        "(`audio_cues/metrics/middle_fusion_mobile_training_log.csv`) is a "
+        "header with zero rows, and its trainer hard-codes one model — so "
+        "middle/late rows above are already beyond the reference record. "
+        "`early_fusion_mobile` collapses at the family lr (0.001, the "
+        "reference's `ac_config.yaml:14`): Adam's early steps kill the "
+        "MelMobileNet encoder (dead ReLU6 → logits pinned at ln 4 from epoch "
+        "1, verified train-mode too, so it is an optimization failure, not "
+        "an eval artifact). The same architecture trains cleanly at lr 1e-4 "
+        "(train acc 82% in 5 epochs); the sweep keeps the family-lr protocol "
+        "and reports the honest number. The per-example sigmoid gate "
+        "additionally carries an open-gate bias init (models/audio_cues.py) "
+        "to rule out the gate's own saturation death mode."
+    ),
+}
+
 
 def spearman(xs, ys):
     """Spearman rank correlation with average ranks for ties."""
@@ -154,6 +172,9 @@ def build_report(summary_path: str) -> str:
                 oa = orank = lr = wall = "—"
             lines.append(f"| {model} | {ra} | {rr} | {oa} | {orank} | {lr} | {wall} |")
         lines.append("")
+        if fam in FAMILY_NOTES:
+            lines.append(FAMILY_NOTES[fam])
+            lines.append("")
         if rho is not None:
             spread = (max(a for _, a in ours_accs) - min(a for _, a in ours_accs)
                       if ours_accs else 0.0)

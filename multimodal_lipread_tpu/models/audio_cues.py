@@ -74,7 +74,17 @@ class _GatedEarlyFusion(nn.Module):
         d = fused.shape[-1]
         s = nn.Dense(d, dtype=self.dtype, name="attn_fc1")(fused)
         s = jnp.tanh(s)
-        s = nn.Dense(1, dtype=self.dtype, name="attn_fc2")(s)  # (B, 1)
+        # open-gate init (sigmoid(2)≈0.88, the LSTM forget-gate trick): a
+        # zero-init bias lets aggressive Adam steps saturate the sigmoid to
+        # 0 for every example, zeroing `fused` AND the gate's own gradient.
+        # The reference's batch-softmax gate cannot die this way (it sums
+        # to 1 over the batch), so the per-example sigmoid replacement gets
+        # the classic gate-bias guard. Note this guards the GATE only: at
+        # the reference's family lr (0.001, ac_config.yaml:14) the
+        # MelMobileNet encoder itself still collapses (dead ReLU6); the
+        # architecture trains cleanly at lr 1e-4 (see ZOO.md footnote).
+        s = nn.Dense(1, dtype=self.dtype, name="attn_fc2",
+                     bias_init=nn.initializers.constant(2.0))(s)  # (B, 1)
         if self.batch_softmax_gate:
             gate = nn.softmax(s, axis=0)  # reference bug: softmax over the batch
         else:
