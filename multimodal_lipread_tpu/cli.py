@@ -81,6 +81,14 @@ def transcode() -> int:
     return _module_main("multimodal_lipread_tpu.tools.transcode")
 
 
+def serve() -> int:
+    return _module_main("multimodal_lipread_tpu.serving")
+
+
+def plot() -> int:
+    return _module_main("multimodal_lipread_tpu.utils.visualize")
+
+
 if __name__ == "__main__":
     # `python -m multimodal_lipread_tpu.cli <pipeline> ...` also works
     if len(sys.argv) < 2:

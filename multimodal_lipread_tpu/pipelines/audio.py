@@ -22,6 +22,7 @@ from multimodal_lipread_tpu.models.audio import get_audio_model
 from multimodal_lipread_tpu.pipelines.common import (
     maybe_plot,
     model_dtype,
+    trainer_extras,
     load_pretrained_backbones,
     default_dirs,
     load_audio_datasets,
@@ -140,9 +141,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             metrics_dir=metrics_dir,
             checkpoints_dir=ckpt_dir,
             test_every_epoch=True,
-            device_resident=cfg.get("training.device_resident", False),
-            handle_preemption=cfg.get("training.handle_preemption", False),
-            host_prefetch=cfg.get("training.host_prefetch", 2),
+            **trainer_extras(cfg),
         ),
     )
     trainer.ensure_initialized(datasets["train"])

@@ -21,6 +21,7 @@ from multimodal_lipread_tpu.models.audio_cues import get_audio_cues_model
 from multimodal_lipread_tpu.pipelines.common import (
     maybe_plot,
     model_dtype,
+    trainer_extras,
     load_pretrained_backbones,
     compute_logmel_features,
     decode_waveforms,
@@ -103,6 +104,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             metrics_dir=metrics_dir,
             checkpoints_dir=ckpt_dir,
             test_every_epoch=True,
+            **trainer_extras(cfg),
         ),
     )
     trainer.init_state(datasets["train"].inputs)

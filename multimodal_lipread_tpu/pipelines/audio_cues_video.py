@@ -28,6 +28,7 @@ from multimodal_lipread_tpu.models.audio_cues_video import FROZEN_PARAM_PREFIXES
 from multimodal_lipread_tpu.pipelines.common import (
     maybe_plot,
     model_dtype,
+    trainer_extras,
     load_pretrained_backbones,
     compute_logmel_features,
     decode_waveforms,
@@ -137,6 +138,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             test_every_epoch=True,
             frozen_param_prefixes=FROZEN_PARAM_PREFIXES.get(model_name, ()),
             rolling_checkpoint=True,  # reference: audio_cues_video/train.py:179-187
+            **trainer_extras(cfg),
         ),
     )
     trainer.init_state(datasets["train"].inputs)

@@ -275,6 +275,26 @@ def model_dtype(cfg: Config):
     return jnp.bfloat16 if str(cfg.get("model.dtype", "float32")) == "bfloat16" else jnp.float32
 
 
+def trainer_extras(cfg: Config) -> dict:
+    """Universal ``training.*`` TrainerConfig knobs, identical across the 7
+    pipelines (docs/MIGRATION.md "New knobs"): every one is a pure
+    opt-in extension whose default reproduces the reference's behavior, so
+    plumbing them uniformly cannot change a default run."""
+    return {
+        "device_resident": cfg.get("training.device_resident", False),
+        "handle_preemption": cfg.get("training.handle_preemption", False),
+        "host_prefetch": cfg.get("training.host_prefetch", 2),
+        "remat": cfg.get("training.remat", False),
+        "half_precision": cfg.get("training.half_precision", False),
+        "checkpoint_backend": cfg.get("training.checkpoint_backend", "msgpack"),
+        "profile_dir": cfg.get("training.profile_dir", None),
+        "mixup_alpha": cfg.get(
+            # the reference's (dead) YAML block spells it augmentation.mixup_alpha
+            "training.mixup_alpha", cfg.get("augmentation.mixup_alpha", 0.0)
+        ),
+    }
+
+
 def maybe_plot(cfg: Config, metrics_dir: str) -> None:
     """Write loss/accuracy PNGs after training (reference: visualize_metrics.py
     per subsystem); disable with output.plots: false."""

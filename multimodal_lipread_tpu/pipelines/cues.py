@@ -27,7 +27,7 @@ from multimodal_lipread_tpu.data.cues import (
 )
 from multimodal_lipread_tpu.models.cues import cue_embedding_kind, get_cue_model
 from multimodal_lipread_tpu.pipelines.common import default_dirs, parse_cli
-from multimodal_lipread_tpu.pipelines.common import maybe_plot, model_dtype
+from multimodal_lipread_tpu.pipelines.common import maybe_plot, model_dtype, trainer_extras
 from multimodal_lipread_tpu.train.trainer import ArrayDataset, Trainer, TrainerConfig
 
 
@@ -159,6 +159,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             # opt-in per-epoch checkpoint so --resume has something to
             # resume from (the reference cue trainers save best-val only)
             rolling_checkpoint=cfg.get("training.rolling_checkpoint", False),
+            **trainer_extras(cfg),
         ),
     )
     result = trainer.fit(

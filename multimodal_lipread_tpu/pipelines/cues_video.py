@@ -21,7 +21,7 @@ from multimodal_lipread_tpu.data.glips import SPLITS, scan_lip_regions
 from multimodal_lipread_tpu.models.cues_video import get_cues_video_model
 from multimodal_lipread_tpu.models.cues_video import FROZEN_PARAM_PREFIXES
 from multimodal_lipread_tpu.pipelines.common import default_dirs, load_lip_sequences, parse_cli
-from multimodal_lipread_tpu.pipelines.common import maybe_plot, model_dtype
+from multimodal_lipread_tpu.pipelines.common import maybe_plot, model_dtype, trainer_extras
 from multimodal_lipread_tpu.pipelines.video import resolve_lip_root
 from multimodal_lipread_tpu.pipelines.common import load_pretrained_backbones
 from multimodal_lipread_tpu.train.trainer import ArrayDataset, Trainer, TrainerConfig
@@ -127,6 +127,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             checkpoints_dir=ckpt_dir,
             test_every_epoch=True,
             frozen_param_prefixes=FROZEN_PARAM_PREFIXES.get(model_name, ()),
+            **trainer_extras(cfg),
         ),
     )
     trainer.init_state(datasets["train"].inputs)

@@ -21,7 +21,7 @@ from multimodal_lipread_tpu.config import Config
 from multimodal_lipread_tpu.data.glips import lip_regions_root, lipread_files_dir
 from multimodal_lipread_tpu.models.video import get_video_model
 from multimodal_lipread_tpu.pipelines.common import default_dirs, load_video_datasets, parse_cli
-from multimodal_lipread_tpu.pipelines.common import maybe_plot, model_dtype
+from multimodal_lipread_tpu.pipelines.common import maybe_plot, model_dtype, trainer_extras
 from multimodal_lipread_tpu.pipelines.common import load_pretrained_backbones
 from multimodal_lipread_tpu.train.trainer import Trainer, TrainerConfig
 
@@ -127,12 +127,9 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             test_every_epoch=True,
             rolling_checkpoint=True,  # reference: video/train.py:252-262
             log_txt_header=True,  # reference pre-creates the "Training Log" TXT banner
-            # the reference's augmentation YAML block is dead config
-            # (visual_config.yaml:33-46); here it actually works, default off
-            mixup_alpha=cfg.get("augmentation.mixup_alpha", 0.0),
-            device_resident=cfg.get("training.device_resident", False),
-            handle_preemption=cfg.get("training.handle_preemption", False),
-            host_prefetch=cfg.get("training.host_prefetch", 2),
+            # incl. mixup_alpha: the reference's augmentation YAML block is
+            # dead config (visual_config.yaml:33-46); here it works, default off
+            **trainer_extras(cfg),
         ),
     )
     trainer.ensure_initialized(datasets["train"])

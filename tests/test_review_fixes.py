@@ -248,3 +248,35 @@ def test_token_only_model_rejected_for_sentence_embedding():
 
     with pytest.raises(ValueError, match="not a sentence-embedding model"):
         get_embedder("distilbert")
+
+
+def test_trainer_extras_reach_every_pipeline():
+    """docs/MIGRATION.md documents training.{remat,checkpoint_backend,
+    profile_dir,half_precision,mixup_alpha,...} as YAML knobs; they must be
+    plumbed into TrainerConfig by ALL 7 pipelines, not silently ignored."""
+    import dataclasses
+    import inspect
+
+    from multimodal_lipread_tpu.pipelines.common import trainer_extras
+
+    extras = trainer_extras(Config.from_dict({"training": {
+        "remat": True, "half_precision": True, "mixup_alpha": 0.3,
+        "checkpoint_backend": "orbax", "profile_dir": "/tmp/prof",
+        "device_resident": True, "handle_preemption": True, "host_prefetch": 4,
+    }}))
+    fields = {f.name for f in dataclasses.fields(TrainerConfig)}
+    assert set(extras) <= fields
+    tc = TrainerConfig(model_name="m", num_classes=2, **extras)
+    assert tc.remat and tc.half_precision and tc.mixup_alpha == 0.3
+    assert tc.checkpoint_backend == "orbax" and tc.profile_dir == "/tmp/prof"
+    assert tc.device_resident and tc.handle_preemption and tc.host_prefetch == 4
+    # the reference's augmentation.mixup_alpha spelling still works
+    assert trainer_extras(
+        Config.from_dict({"augmentation": {"mixup_alpha": 0.5}})
+    )["mixup_alpha"] == 0.5
+
+    for name in ("audio", "video", "audio_video", "cues", "audio_cues",
+                 "cues_video", "audio_cues_video"):
+        mod = __import__(f"multimodal_lipread_tpu.pipelines.{name}",
+                         fromlist=["main"])
+        assert "**trainer_extras(cfg)" in inspect.getsource(mod), name
