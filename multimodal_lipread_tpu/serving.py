@@ -400,14 +400,26 @@ def export_pipeline_stablehlo(
         from multimodal_lipread_tpu.models.audio import get_audio_model
         from multimodal_lipread_tpu.pipelines.common import model_dtype
 
+        input_size = config.get("dataset.input_size", 117)
         model = get_audio_model(
             config.get("model.name", "resnet"), config.get("dataset.num_classes", 4),
-            input_size=config.get("dataset.input_size", 117),
+            input_size=input_size,
             version=config.get("model.version", 16),
             use_batchnorm=config.get("model.use_batchnorm", True),
             dtype=model_dtype(config),
         )
-        example = (np.zeros((batch_size, 80, config.get("dataset.input_size", 117)), np.float32),)
+        if bool(config.get("dataset.streaming", False)):
+            # streaming-trained checkpoints wrap the classifier in
+            # WaveToLogMel (pipelines/audio.py): the param tree nests one
+            # level deeper and the exported graph takes raw 20k waveforms
+            # (log-mel runs inside the serialized module)
+            from multimodal_lipread_tpu.data.audio_io import TARGET_SAMPLES
+            from multimodal_lipread_tpu.models.frontend import WaveToLogMel
+
+            model = WaveToLogMel(model, input_size=input_size)
+            example = (np.zeros((batch_size, TARGET_SAMPLES), np.float32),)
+        else:
+            example = (np.zeros((batch_size, 80, input_size), np.float32),)
     else:
         model = build_model(pipeline, config)
         example = _example_inputs(pipeline, config, batch_size)

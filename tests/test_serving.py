@@ -159,3 +159,49 @@ def test_predictor_uint8_inputs_normalized_in_graph():
     logits = pred.predict_logits(u8)
     # 255-valued uint8 must arrive as 1.0 after in-graph normalization
     np.testing.assert_allclose(logits[:, 0], 1.0, atol=1e-6)
+
+
+@pytest.mark.slow
+def test_export_streaming_audio_checkpoint(glips_root, tmp_path):
+    """dataset.streaming: true checkpoints wrap the classifier in WaveToLogMel
+    (raw-wave input, deeper param tree); --export must rebuild that wrapper
+    and serialize a graph that takes 20k-sample waveforms."""
+    from jax import export as jexport
+
+    from multimodal_lipread_tpu.data.audio_io import TARGET_SAMPLES
+    from multimodal_lipread_tpu.pipelines.audio import main as audio_main
+    from multimodal_lipread_tpu.pipelines.common import decode_waveforms
+    from multimodal_lipread_tpu.serving import export_pipeline_stablehlo, predict_audio_clips
+
+    cfg = Config.from_dict(
+        {
+            "dataset": {"root_dir": glips_root, "num_classes": 4,
+                        "input_size": 117, "streaming": True, "num_workers": 0},
+            "model": {"name": "resnet"},
+            "training": {"batch_size": 16, "epochs": 1, "learning_rate": 1e-3,
+                         "weight_decay": 1e-4, "seed": 0},
+            "output": {"base_dir": str(tmp_path / "run"), "plots": False},
+        }
+    )
+    audio_main(cfg)
+    ckpt = str(tmp_path / "run" / "models_trained" / "resnet_best.msgpack")
+    assert os.path.exists(ckpt)
+
+    out = str(tmp_path / "resnet_stream.stablehlo")
+    export_pipeline_stablehlo(cfg, ckpt, "audio", out, batch_size=2)
+    assert os.path.getsize(out) > 1000
+
+    index = scan_glips(glips_root, exts=AUDIO_EXTS)
+    clips = [e.path for e in index.by_split("test")][:2]
+    waves = decode_waveforms(clips)
+    assert waves.shape == (2, TARGET_SAMPLES)
+
+    fn = jexport.deserialize(open(out, "rb").read())
+    logits = np.asarray(fn.call(jnp.asarray(waves)))
+    assert logits.shape == (2, 4) and np.isfinite(logits).all()
+
+    # the exported graph must agree with the Python serving path
+    ref = predict_audio_clips(cfg, ckpt, clips, batch_size=2)
+    np.testing.assert_allclose(
+        logits, np.asarray([r["logits"] for r in ref]), rtol=1e-4, atol=1e-5
+    )
