@@ -53,7 +53,14 @@ def _synth_waveform(
     pitch jitter wide enough to overlap neighbouring classes, randomizes the
     harmonic timbre per clip (speaker-style nuisance), and raises the noise
     floor — calibrated so strong audio models land well below 100% but
-    above the weaker modalities (BASELINE.md ordering)."""
+    above the weaker modalities (BASELINE.md ordering).
+
+    Beyond 8 classes the single-pitch law ``120·ratio^class`` exceeds
+    Nyquist, so many-class corpora (e.g. the full 500-word GLips scale)
+    switch to a two-tone grid code (``_synth_waveform_many``); the ≤8-class
+    path below is byte-identical to the round-2 fixture (same rng stream)."""
+    if num_classes > 8:
+        return _synth_waveform_many(rng, class_idx, num_classes, hardness)
     t = np.arange(TARGET_SAMPLES, dtype=np.float32) / SAMPLE_RATE
     # irreducible per-clip signal confusion: with prob 0.35·h the PITCH
     # comes from a uniformly drawn class while the label stays true — a
@@ -80,6 +87,42 @@ def _synth_waveform(
     return (wave * envelope * 8000.0).astype(np.float32)
 
 
+def _synth_waveform_many(
+    rng: np.random.Generator, class_idx: int, num_classes: int, hardness: float = 0.0
+) -> np.ndarray:
+    """Many-class waveform: class encoded as a TWO-tone grid pair.
+
+    ``class_idx`` maps to ``(i, j)`` on a k×k grid (k = ceil(sqrt(n))); tone
+    i comes from a geometric grid in a low band (110–900 Hz), tone j from a
+    fully disjoint high band (1.2–7 kHz) — adjacent grid tones sit ~8–10%
+    apart for k ≈ 23 (500 classes), resolvable by the 80-bin log-mel
+    frontend where a single 500-level pitch grid would not be. Pure tones
+    (no harmonics): a 2nd harmonic of the high band would alias past
+    Nyquist, and low-band harmonics would collide with high-band
+    fundamentals. ``hardness`` mirrors the few-class law: signal-confusion
+    draws, relative pitch jitter, amplitude nuisance, and noise floor."""
+    t = np.arange(TARGET_SAMPLES, dtype=np.float32) / SAMPLE_RATE
+    if hardness > 0 and rng.uniform() < 0.35 * hardness:
+        class_idx = int(rng.integers(num_classes))
+    k = int(np.ceil(np.sqrt(num_classes)))
+    i, j = class_idx // k, class_idx % k
+    span = max(k - 1, 1)
+    f_lo = 110.0 * (900.0 / 110.0) ** (i / span)
+    f_hi = 1200.0 * (7000.0 / 1200.0) ** (j / span)
+    jitter = 0.003 + 0.05 * hardness  # relative: stays below grid spacing at h=0
+    wave = np.zeros_like(t)
+    for f0 in (f_lo, f_hi):
+        f0 = f0 * (1.0 + rng.normal(0.0, jitter))
+        amp = 0.5
+        if hardness > 0:
+            amp *= 1.0 + hardness * rng.uniform(-0.8, 0.8)
+        wave += amp * np.sin(2 * np.pi * f0 * t + rng.uniform(0, 2 * np.pi))
+    noise = 0.05 + 0.55 * hardness
+    wave += noise * rng.standard_normal(TARGET_SAMPLES).astype(np.float32)
+    envelope = np.minimum(1.0, 10 * t) * np.minimum(1.0, 10 * (t[-1] - t))
+    return (wave * envelope * 8000.0).astype(np.float32)
+
+
 def _synth_lip_sequence(
     rng: np.random.Generator, class_idx: int, num_classes: int = 4, hardness: float = 0.0
 ) -> np.ndarray:
@@ -97,6 +140,23 @@ def _synth_lip_sequence(
     # hardness == 0 reproduces the round-2 fixture bit-for-bit
     if hardness > 0 and rng.uniform() < 0.5 * hardness:
         class_idx = int(rng.integers(num_classes))
+    if num_classes > 8:
+        # many-class grid code (see _synth_waveform_many): brightness level
+        # i on a k-level grid and stripe period j+2 (≤ k+1 ≪ 44 px) — the
+        # few-class laws below saturate uint8 / exceed the frame past ~8
+        k = int(np.ceil(np.sqrt(num_classes)))
+        i, j = class_idx // k, class_idx % k
+        base = 30.0 + (185.0 / max(k - 1, 1)) * i
+        if hardness > 0:
+            base = base + hardness * rng.uniform(-45, 45)
+        noise_amp = 30 + 150 * hardness
+        frames = rng.integers(0, max(1, int(noise_amp)), size=(29, 44, 44, 3), dtype=np.int64)
+        yy = np.arange(44)[None, :, None, None]
+        stripe_amp = 60.0 * (1.0 - 0.8 * hardness)
+        phase = int(rng.integers(0, 2 + j)) if hardness > 0 else 0
+        stripes = (((yy + phase) // (2 + j)) % 2) * stripe_amp
+        contrast = 1.0 + hardness * rng.uniform(-0.3, 0.3) if hardness > 0 else 1.0
+        return np.clip((base + frames + stripes) * contrast, 0, 255).astype(np.uint8)
     sep = 40.0 * (1.0 - 0.85 * hardness)
     base = 40 + sep * class_idx
     if hardness > 0:
@@ -184,7 +244,11 @@ def make_synthetic_glips(
     for ci, word in enumerate(words):
         for split in splits:
             for _ in range(clips_per_split):
-                sid = f"{seq_counter:04d}-{seq_counter + 1:04d}"
+                # the GLips sid contract is EXACTLY 4 digits per half
+                # (data/glips.py SEQ_ID_RE); wrap at 10000 so very large
+                # corpora (500 words × many clips) keep well-formed ids —
+                # sids stay unique within a (word, split) directory
+                sid = f"{seq_counter % 10000:04d}-{(seq_counter + 1) % 10000:04d}"
                 seq_counter += 2
                 stem = f"{word}_{sid}"
                 # label noise: the folder word (= the label) keeps ci, but
