@@ -41,11 +41,20 @@ def _load_state(ckpt_path: str, template: Dict[str, Any]) -> Dict[str, Any]:
 
 @dataclasses.dataclass
 class Predictor:
-    """Fixed-batch jitted classifier head around trained variables."""
+    """Fixed-batch jitted classifier head around trained variables.
+
+    ``mesh``: optional ``jax.sharding.Mesh`` for data-parallel serving — the
+    batch axis is sharded over the mesh (`P('data')`) and the variables are
+    replicated, so one compiled forward serves ``mesh.size`` chips with XLA
+    placing the collectives (the reference has no serving at all; this is
+    the training mesh design of ``parallel/mesh.py`` applied to inference).
+    Logits are bit-identical to single-device serving (no cross-batch ops
+    exist in any zoo model's eval path — BN uses running stats)."""
 
     model: Any
     variables: Dict[str, Any]
     batch_size: int = 32
+    mesh: Optional[Any] = None
     _compiled: Optional[Callable] = None
 
     @classmethod
@@ -55,6 +64,7 @@ class Predictor:
         ckpt_path: str,
         example_inputs: Sequence[np.ndarray],
         batch_size: int = 32,
+        mesh: Optional[Any] = None,
     ) -> "Predictor":
         """Restore a Trainer checkpoint (``{epoch, state, val_acc, ...}``)."""
         rng = jax.random.PRNGKey(0)
@@ -78,11 +88,23 @@ class Predictor:
             "params": ckpt["state"]["params"],
             "batch_stats": ckpt["state"]["batch_stats"],
         }
-        return cls(model=model, variables=variables, batch_size=batch_size)
+        return cls(model=model, variables=variables, batch_size=batch_size, mesh=mesh)
 
     def _forward(self):
         if self._compiled is None:
             model = self.model
+            if self.mesh is not None:
+                from multimodal_lipread_tpu.parallel.mesh import replicate
+
+                if self.batch_size % self.mesh.size != 0:
+                    raise ValueError(
+                        f"serving batch_size={self.batch_size} must be a "
+                        f"multiple of the mesh size ({self.mesh.size}) so "
+                        "every chip gets an equal batch shard"
+                    )
+                # one-time H2D: params/batch_stats replicated over the mesh;
+                # the jitted forward then infers shardings from its args
+                self.variables = replicate(self.mesh, self.variables)
 
             @jax.jit
             def fwd(variables, *inputs):
@@ -111,7 +133,12 @@ class Predictor:
                     np.pad(a, [(0, self.batch_size - k)] + [(0, 0)] * (a.ndim - 1))
                     for a in chunk
                 )
-            logits = np.asarray(fwd(self.variables, *map(jnp.asarray, chunk)))
+            arrays = tuple(map(jnp.asarray, chunk))
+            if self.mesh is not None:
+                from multimodal_lipread_tpu.parallel.mesh import shard_batch
+
+                arrays = shard_batch(self.mesh, arrays)
+            logits = np.asarray(fwd(self.variables, *arrays))
             out.append(logits[:k])
         return np.concatenate(out, axis=0) if out else np.zeros((0, 0), np.float32)
 
@@ -133,7 +160,8 @@ def export_stablehlo(model: Any, variables: Dict[str, Any], example_inputs: Sequ
 
 
 def predict_audio_clips(
-    config: Any, ckpt_path: str, clip_paths: Sequence[str], batch_size: int = 32
+    config: Any, ckpt_path: str, clip_paths: Sequence[str], batch_size: int = 32,
+    mesh: Optional[Any] = None,
 ) -> List[Dict[str, Any]]:
     """End-to-end audio inference: files → decode → log-mel → classify."""
     from multimodal_lipread_tpu.data.glips import AUDIO_EXTS, scan_glips
@@ -177,7 +205,9 @@ def predict_audio_clips(
         inputs = waves  # log-mel runs on device inside the wrapped model
     else:
         inputs = compute_logmel_features(waves, input_size=input_size)
-    predictor = Predictor.from_checkpoint(model, ckpt_path, (inputs[:1],), batch_size)
+    predictor = Predictor.from_checkpoint(
+        model, ckpt_path, (inputs[:1],), batch_size, mesh=mesh
+    )
     logits = predictor.predict_logits(inputs)
     preds = np.argmax(logits, axis=-1)
     results = []
@@ -365,17 +395,18 @@ def predict_clips(
     pipeline: str,
     groups: Sequence[Sequence[str]],
     batch_size: int = 32,
+    mesh: Optional[Any] = None,
 ) -> List[Dict[str, Any]]:
     """End-to-end inference for ANY pipeline: per-clip file groups →
     featurize → classify. See ``_featurize_modalities`` for group format."""
     if pipeline == "audio":
         return predict_audio_clips(
-            config, ckpt_path, [g[0] for g in groups], batch_size
+            config, ckpt_path, [g[0] for g in groups], batch_size, mesh=mesh
         )
     model = build_model(pipeline, config)
     inputs = _featurize_modalities(pipeline, config, groups)
     predictor = Predictor.from_checkpoint(
-        model, ckpt_path, tuple(a[:1] for a in inputs), batch_size
+        model, ckpt_path, tuple(a[:1] for a in inputs), batch_size, mesh=mesh
     )
     logits = predictor.predict_logits(*inputs)
     preds = np.argmax(logits, axis=-1)
@@ -490,6 +521,11 @@ def main():
     parser.add_argument("--checkpoint", required=True)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument(
+        "--data-parallel", action="store_true",
+        help="shard the serving batch over ALL local devices (1-D mesh, "
+        "replicated params) — logits identical to single-device serving",
+    )
+    parser.add_argument(
         "--export", metavar="PATH.stablehlo",
         help="instead of classifying, serialize the inference fn to PATH",
     )
@@ -509,8 +545,15 @@ def main():
         return
     if not args.clips:
         parser.error("no clips given (and no --export)")
+    mesh = None
+    if args.data_parallel:
+        from multimodal_lipread_tpu.parallel.mesh import get_mesh
+
+        mesh = get_mesh()
     groups = [c.split(",") for c in args.clips]
-    results = predict_clips(config, args.checkpoint, args.pipeline, groups, args.batch_size)
+    results = predict_clips(
+        config, args.checkpoint, args.pipeline, groups, args.batch_size, mesh=mesh
+    )
     print(json.dumps(results, indent=2))
 
 

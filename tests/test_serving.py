@@ -161,6 +161,31 @@ def test_predictor_uint8_inputs_normalized_in_graph():
     np.testing.assert_allclose(logits[:, 0], 1.0, atol=1e-6)
 
 
+def test_predictor_mesh_matches_single_device():
+    """Data-parallel serving (batch sharded over the 8-device mesh, params
+    replicated) must produce the same logits as single-device serving —
+    eval paths have no cross-batch ops, so sharding is a pure layout change."""
+    from multimodal_lipread_tpu.models.audio import get_audio_model
+    from multimodal_lipread_tpu.parallel.mesh import get_mesh
+
+    model = get_audio_model("resnet", 4)
+    rng = jax.random.PRNGKey(0)
+    mel = np.random.default_rng(0).standard_normal((11, 80, 117)).astype(np.float32)
+    variables = model.init({"params": rng, "dropout": rng}, mel[:1], train=False)
+
+    single = Predictor(model=model, variables=variables, batch_size=16)
+    mesh = get_mesh()
+    assert mesh.size == 8  # conftest forces the 8-device CPU mesh
+    sharded = Predictor(model=model, variables=variables, batch_size=16, mesh=mesh)
+    # n=11 < batch_size exercises the pad-then-shard path (pad to 16 = 2/device)
+    np.testing.assert_allclose(
+        single.predict_logits(mel), sharded.predict_logits(mel), rtol=1e-6, atol=1e-6
+    )
+
+    with pytest.raises(ValueError, match="multiple of the mesh size"):
+        Predictor(model=model, variables=variables, batch_size=12, mesh=mesh).predict_logits(mel)
+
+
 @pytest.mark.slow
 def test_export_streaming_audio_checkpoint(glips_root, tmp_path):
     """dataset.streaming: true checkpoints wrap the classifier in WaveToLogMel
