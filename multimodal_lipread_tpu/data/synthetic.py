@@ -223,6 +223,16 @@ def make_synthetic_glips(
     TRAIN clips' signal class while keeping the folder word (the label),
     simulating annotation errors; val/test stay clean so reported accuracy
     remains meaningful."""
+    # sids are the global counter mod 10000 stepping by 2 per clip; a
+    # (word, split) directory holds clips_per_split consecutive sids, so a
+    # wrap can only collide INSIDE one directory when 2*clips_per_split
+    # exceeds the 10000 modulus — guard it instead of silently overwriting
+    # (the reference's (word, sid, split) cue-join assumes uniqueness)
+    if clips_per_split > 5000:
+        raise ValueError(
+            f"clips_per_split={clips_per_split} > 5000 would wrap the 4-digit "
+            "sid space within one (word, split) directory and overwrite clips"
+        )
     rng = np.random.default_rng(seed)
     if isinstance(hardness, dict):
         h_audio = float(hardness.get("audio", 0.0))

@@ -48,8 +48,11 @@ class Predictor:
     replicated, so one compiled forward serves ``mesh.size`` chips with XLA
     placing the collectives (the reference has no serving at all; this is
     the training mesh design of ``parallel/mesh.py`` applied to inference).
-    Logits are bit-identical to single-device serving (no cross-batch ops
-    exist in any zoo model's eval path — BN uses running stats)."""
+    Logits are numerically identical to single-device serving within float
+    tolerance (no cross-batch ops exist in any zoo model's eval path — BN
+    uses running stats; XLA may still fuse/lay out differently under
+    sharding, so exact bit-equality is not guaranteed — the pinning test
+    asserts 1e-6 agreement)."""
 
     model: Any
     variables: Dict[str, Any]

@@ -63,7 +63,9 @@ def test_many_class_lips_carry_brightness_and_stripe_axes():
     n = 500
     k = int(np.ceil(np.sqrt(n)))
     seq_lo = _synth_lip_sequence(rng, 0, n)  # brightness level 0
-    seq_hi = _synth_lip_sequence(rng, (k - 1) * k, n)  # brightness level k-1
+    # highest REACHABLE brightness level for n=500, k=23 is i=21 (class
+    # indices stop at 499 = 21*23 + 16); 21*23 = 483 keeps the label in range
+    seq_hi = _synth_lip_sequence(rng, 21 * k, n)  # brightness level 21
     assert seq_lo.shape == (29, 44, 44, 3) and seq_lo.dtype == np.uint8
     assert seq_hi.mean() - seq_lo.mean() > 100  # brightness axis separates
     # stripe axis: same brightness level, different period → different
