@@ -104,7 +104,13 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             metrics_dir=metrics_dir,
             checkpoints_dir=ckpt_dir,
             test_every_epoch=True,
-            **trainer_extras(cfg),
+            # shipped divergence from the reference: 2-epoch LR warmup. At
+            # the family lr (1e-3, reference ac_config.yaml:14) Adam's first
+            # steps kill the MelMobileNet encoder (dead ReLU6, logits pinned
+            # at ln num_classes — ZOO.md round-3 footnote); the ramp removes
+            # the death mode without changing the family protocol. Opt back
+            # into reference semantics with training.warmup_epochs: 0.
+            **trainer_extras(cfg, default_warmup_epochs=2.0),
         ),
     )
     trainer.init_state(datasets["train"].inputs)

@@ -275,12 +275,22 @@ def model_dtype(cfg: Config):
     return jnp.bfloat16 if str(cfg.get("model.dtype", "float32")) == "bfloat16" else jnp.float32
 
 
-def trainer_extras(cfg: Config) -> dict:
+def trainer_extras(cfg: Config, default_warmup_epochs: float = 0.0) -> dict:
     """Universal ``training.*`` TrainerConfig knobs, identical across the 7
     pipelines (docs/MIGRATION.md "New knobs"): every one is a pure
     opt-in extension whose default reproduces the reference's behavior, so
-    plumbing them uniformly cannot change a default run."""
+    plumbing them uniformly cannot change a default run.
+
+    Exception (documented divergence): ``default_warmup_epochs`` lets a
+    pipeline ship a non-zero LR warmup where the reference's own family LR
+    is optimization-unstable (audio_cues at lr 1e-3 kills the MobileNet
+    encoder's ReLU6 stack in the first Adam steps — ZOO.md round-3
+    footnote). Reference semantics = ``training.warmup_epochs: 0``."""
     return {
+        "warmup_epochs": cfg.get(
+            "training.warmup_epochs",
+            cfg.get("train.warmup_epochs", default_warmup_epochs),
+        ),
         "device_resident": cfg.get("training.device_resident", False),
         "handle_preemption": cfg.get("training.handle_preemption", False),
         "host_prefetch": cfg.get("training.host_prefetch", 2),

@@ -96,6 +96,15 @@ class TrainerConfig:
     # cues/models/minilm_models/cnn_lstm.py:177-178,199)
     lr_schedule: str = "plateau"
     warmup_proportion: float = 0.1
+    # multiplicative LR ramp over the first `warmup_epochs` epochs, composed
+    # ON TOP of the plateau schedule (per-step: lr = scheduler.lr *
+    # min(1, step/warmup_steps)). The reference has no warmup; this is the
+    # documented optimization-stability divergence that keeps aggressive
+    # family LRs (e.g. audio_cues' 1e-3, ac_config.yaml:14) from killing
+    # ReLU6 encoders in the first Adam steps (ZOO.md round-3 footnote).
+    # 0 disables (reference semantics). Ignored under lr_schedule=
+    # 'linear_warmup', which has its own ramp.
+    warmup_epochs: float = 0.0
     seed: int = 0
     metrics_dir: str = "metrics"
     checkpoints_dir: str = "models_trained"
@@ -329,6 +338,10 @@ class Trainer:
         # per-step LR function, built in fit() once total steps are known
         self._lr_step_fn: Optional[Callable[[int], float]] = None
         self._global_step = 0
+        # host-side mirror of the injected LR leaf: lets _set_lr skip the
+        # per-step device_put once a warmup ramp has saturated (None =
+        # unknown, e.g. right after init/restore replaced opt_state)
+        self._current_lr: Optional[float] = None
 
     # ------------------------------------------------------------------ setup
 
@@ -391,6 +404,7 @@ class Trainer:
         }
         self._tx = tx
         self.state = replicate(self.mesh, state)
+        self._current_lr = float(self.config.learning_rate)  # tx.init's leaf
         return self.state
 
     def ensure_initialized(self, ds: Any) -> None:
@@ -796,6 +810,8 @@ class Trainer:
         return load_checkpoint(path, template)
 
     def _set_lr(self, lr: float) -> None:
+        if self._current_lr is not None and lr == self._current_lr:
+            return  # warmup fns call this every step; skip once saturated
         # keep the replicated sharding of the existing leaf — a plain
         # jnp.asarray would be single-device and force a recompile on meshes
         old = self.state["opt_state"].hyperparams["learning_rate"]
@@ -803,6 +819,7 @@ class Trainer:
         if hasattr(old, "sharding"):
             new = jax.device_put(new, old.sharding)
         self.state["opt_state"].hyperparams["learning_rate"] = new
+        self._current_lr = float(lr)
 
     def request_preemption(self) -> None:
         """Ask a running fit() to stop: the in-flight batch finishes, a
@@ -868,10 +885,7 @@ class Trainer:
     ) -> Dict[str, Any]:
         cfg = self.config
 
-        if cfg.lr_schedule == "linear_warmup":
-            # torch get_linear_schedule_with_warmup over the whole run;
-            # stepped per batch AFTER the optimizer step (factor(0)=0 ⇒ the
-            # first step trains at lr 0, like torch LambdaLR)
+        if cfg.lr_schedule == "linear_warmup" or cfg.warmup_epochs > 0:
             if isinstance(train_ds, ArrayDataset):
                 steps_per_epoch = max(1, -(-len(train_ds) // self.batch_size))
             else:
@@ -887,6 +901,11 @@ class Trainer:
                     steps_per_epoch = max(1, int(train_ds.global_batches(per_host)))
                 else:
                     steps_per_epoch = max(1, -(-len(train_ds) // per_host))
+
+        if cfg.lr_schedule == "linear_warmup":
+            # torch get_linear_schedule_with_warmup over the whole run;
+            # stepped per batch AFTER the optimizer step (factor(0)=0 ⇒ the
+            # first step trains at lr 0, like torch LambdaLR)
             total = steps_per_epoch * cfg.epochs
             warmup = int(cfg.warmup_proportion * total)
             base_lr = cfg.learning_rate
@@ -897,6 +916,19 @@ class Trainer:
                 return _lr * max(0.0, (_t - step) / max(1, _t - _w))
 
             self._lr_step_fn = lr_at
+        elif cfg.warmup_epochs > 0:
+            # warmup-then-plateau: the per-step fn reads the LIVE scheduler
+            # lr, so plateau reductions at epoch boundaries still apply; the
+            # ramp multiplies on top and reaches 1 after warmup (from then on
+            # _set_lr's host-side mirror makes the per-step call a no-op).
+            # step+1: the FIRST optimizer step already trains at lr/warmup
+            # (not 0) — a zero first step would waste one batch every run.
+            warmup_steps = max(1, int(round(cfg.warmup_epochs * steps_per_epoch)))
+
+            def plateau_warmup_lr(step, _w=warmup_steps):
+                return self.scheduler.lr * min(1.0, (step + 1) / _w)
+
+            self._lr_step_fn = plateau_warmup_lr
 
         start_epoch = 1
         best_val_acc = -1.0
@@ -921,6 +953,7 @@ class Trainer:
         if resume and os.path.exists(rolling_path):
             ckpt = self._load_ckpt(rolling_path, ckpt_template())
             self.state = replicate(self.mesh, ckpt["state"])
+            self._current_lr = None  # restored leaf value unknown to the mirror
             start_epoch = int(ckpt["epoch"]) + 1
             self.scheduler.lr = float(ckpt["scheduler_lr"])
             # restore the FULL plateau state so a resumed run reduces the LR
@@ -1015,10 +1048,15 @@ class Trainer:
                     "preempted": True,
                 }
             va = self.evaluate(val_ds)
-            if self._lr_step_fn is None:
+            if cfg.lr_schedule == "plateau":
                 metric = va.loss if cfg.scheduler_mode == "min" else va.acc
                 new_lr = self.scheduler.step(metric)
-                self._set_lr(new_lr)
+                if self._lr_step_fn is None:
+                    self._set_lr(new_lr)
+                else:
+                    # warmup-on-plateau: the per-step fn reads the updated
+                    # scheduler.lr next step; record the ramped value
+                    new_lr = self._lr_step_fn(self._global_step)
             else:
                 new_lr = self._lr_step_fn(self._global_step)
             te = (

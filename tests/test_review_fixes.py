@@ -279,4 +279,6 @@ def test_trainer_extras_reach_every_pipeline():
                  "cues_video", "audio_cues_video"):
         mod = __import__(f"multimodal_lipread_tpu.pipelines.{name}",
                          fromlist=["main"])
-        assert "**trainer_extras(cfg)" in inspect.getsource(mod), name
+        # audio_cues passes a non-zero default_warmup_epochs (documented
+        # divergence, docs/MIGRATION.md) — accept either call shape
+        assert "**trainer_extras(cfg" in inspect.getsource(mod), name
