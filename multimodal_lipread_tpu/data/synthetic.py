@@ -173,6 +173,135 @@ def _synth_lip_sequence(
     return seq
 
 
+# --- compositional cue style -------------------------------------------------
+# Marker vocabularies DISJOINT from _ADJ/_FEAT and from each other, so a
+# bag-of-words reader can attribute each marker unambiguously.
+_MOOD = ("wistful", "jubilant", "stoic", "agitated", "serene", "brooding",
+         "playful", "solemn")
+_ARTIC = ("clipped", "drawled", "staccato", "flowing", "mumbled", "crisp",
+          "halting", "emphatic")
+_SCENE = ("cluttered", "sparse", "sunlit", "shadowed", "tiled", "curtained",
+          "paneled", "mirrored")
+_LIGHT = ("flickering", "diffuse", "harsh", "amber", "pale", "strobing",
+          "dappled", "even")
+
+_COMP_C1 = (
+    "at first the speaker simply faces the camera and settles into position "
+    "before the clip begins in earnest",  # 18 tokens
+    "the recording opens with the speaker adjusting their stance while the "
+    "frame holds steady on the face",  # 17 tokens
+    "for the opening moments nothing stands out as the speaker waits quietly "
+    "and the shot stays fixed in place",  # 19 tokens
+)
+_COMP_C2_EMOTION = (
+    "early frames hint at a {weak} expression though the impression stays "
+    "faint and hard to pin down",  # 17 tokens, marker at +6
+    "an initial glance suggests something {weak} about the face but the "
+    "signal is weak and easy to doubt",  # 17 tokens, marker at +5
+    "there is a passing {weak} quality to the look yet it fades before it "
+    "can be read with confidence",  # 19 tokens, marker at +4
+)
+_COMP_C2_ENV = (
+    "early frames hint at a {weak} backdrop though the impression stays "
+    "faint and hard to pin down",
+    "an initial glance suggests something {weak} about the setting but the "
+    "signal is weak and easy to doubt",
+    "there is a passing {weak} quality to the room yet it fades before it "
+    "can be read with confidence",
+)
+_COMP_C3_EMOTION = (
+    "by the end the mood reads {mood} overall, a {mood} cast that lingers, "
+    "while the articulation remains {artic}, even insistently {artic}, for "
+    "the rest of the take",
+    "once the word is spoken the expression settles into something {mood}, "
+    "unmistakably {mood}, and the delivery turns {artic}, resolutely "
+    "{artic}, until the cut",
+    "the closing frames leave a {mood} impression, {mood} through and "
+    "through, as the mouth keeps a {artic} rhythm, {artic} to the last "
+    "moment",
+)
+_COMP_C3_ENV = (
+    "by the end the scene reads {mood} overall, a {mood} cast that lingers, "
+    "while the lighting remains {artic}, even insistently {artic}, for the "
+    "rest of the take",
+    "once the word is spoken the backdrop settles into something {mood}, "
+    "unmistakably {mood}, and the illumination turns {artic}, resolutely "
+    "{artic}, until the cut",
+    "the closing frames leave a {mood} impression, {mood} through and "
+    "through, as the lighting keeps a {artic} character, {artic} to the "
+    "last moment",
+)
+
+
+def _synth_description_compositional(
+    rng: np.random.Generator, mode: str, class_idx: int,
+    num_classes: int = 4, hardness: float = 0.0
+) -> str:
+    """Compositional cue text that separates cue-classifier CAPACITY classes
+    the way the reference corpus does (reference spread 46 pts,
+    plotting/cues_compare.py:11-12). Two structural properties:
+
+    1. **Late compositional pair.** The strong class signal is the PAIR of a
+       mood word and an articulation word — ``(mood_idx + artic_idx) mod k ==
+       class`` — placed AFTER token 32. The reference's token-level
+       classifiers truncate to 32 tokens (cues/models/minilm_models/
+       cnn_lstm.py:66 max_length=32) while its GPT-4.1 descriptions run
+       long, which is precisely why they score 18-30% vs 51-65% for the
+       sentence-embedding models that read the full text. This corpus
+       reproduces that structure honestly: clause 1 + clause 2 are >= 33
+       tokens in every template combination, so token-level models see only
+       the weak early marker.
+    2. **Pair coding (compositional).** Either pair word alone is uniform
+       over classes; only their combination decodes the class, so a reader
+       must bind two markers (trivial for an MLP on a bag-of-words sentence
+       embedding, impossible for a truncated reader, and hard for a linear
+       model).
+
+    Ambiguity laws: the pair is drawn uniformly with prob ``0.5*hardness``
+    (Bayes cap ~= 1 - q + q/k); the early weak marker (same slice law as the
+    'slice' style but over _ADJ only) is informative with prob
+    ``0.45 - 0.3*hardness`` — so a 32-token reader's cap sits far below the
+    full-text cap (h=0.7: ~40% vs ~74% at k=4)."""
+    if num_classes > 8:
+        raise ValueError(
+            "compositional cue style supports <= 8 classes (8-word marker "
+            f"vocabularies); got {num_classes}"
+        )
+    c1 = _COMP_C1[int(rng.integers(len(_COMP_C1)))]
+    c2_t = (_COMP_C2_EMOTION if mode == "emotion" else _COMP_C2_ENV)[
+        int(rng.integers(3))]
+    c3_t = (_COMP_C3_EMOTION if mode == "emotion" else _COMP_C3_ENV)[
+        int(rng.integers(3))]
+    # weak early marker: slice law over _ADJ for BOTH modes (as the 'slice'
+    # style does) — it must stay disjoint from the late pair vocabularies so
+    # a bag-of-words reader can attribute every marker unambiguously
+    vocab_weak = _ADJ
+    p_inform = max(0.1, 0.45 - 0.3 * hardness)
+    if rng.uniform() < p_inform:
+        stride = max(1, len(vocab_weak) // max(1, num_classes))
+        weak = vocab_weak[(stride * class_idx + int(rng.integers(2))) % len(vocab_weak)]
+    else:
+        weak = vocab_weak[int(rng.integers(len(vocab_weak)))]
+    # strong late pair over a k×k code: (mood_idx + artic_idx) mod k ==
+    # class. Each word alone is uniform over classes; only the binding
+    # decodes. Restricting both vocabularies to their first k words keeps
+    # the number of valid combos at k per class (sample-efficient for the
+    # MLP-on-pooled-embedding readers the corpus is meant to reward).
+    vocab_mood = (_MOOD if mode == "emotion" else _SCENE)[:num_classes]
+    vocab_artic = (_ARTIC if mode == "emotion" else _LIGHT)[:num_classes]
+    if hardness > 0 and rng.uniform() < 0.5 * hardness:
+        mi = int(rng.integers(len(vocab_mood)))
+        ai = int(rng.integers(len(vocab_artic)))
+    else:
+        mi = int(rng.integers(len(vocab_mood)))
+        ai = (class_idx - mi) % num_classes
+    return ". ".join((
+        c1.capitalize(),
+        c2_t.format(weak=weak).capitalize(),
+        c3_t.format(mood=vocab_mood[mi], artic=vocab_artic[ai]).capitalize(),
+    )) + "."
+
+
 def _synth_description(
     rng: np.random.Generator, mode: str, class_idx: int,
     num_classes: int = 4, hardness: float = 0.0
@@ -208,6 +337,7 @@ def make_synthetic_glips(
     with_cues: bool = True,
     hardness: "float | dict" = 0.0,
     label_noise: float = 0.0,
+    cue_style: str = "slice",
 ) -> str:
     """Generate a synthetic GLips tree under ``root``. Returns ``root``.
 
@@ -222,7 +352,13 @@ def make_synthetic_glips(
     audio much easier than video). ``label_noise`` re-draws a fraction of
     TRAIN clips' signal class while keeping the folder word (the label),
     simulating annotation errors; val/test stay clean so reported accuracy
-    remains meaningful."""
+    remains meaningful. ``cue_style`` selects the description generator:
+    ``'slice'`` (default, the round-2/3 adjective-slice law — saturating:
+    every embedding classifier reaches the same Bayes cap) or
+    ``'compositional'`` (late compositional marker pair after token 32, the
+    capacity-separating law — see ``_synth_description_compositional``)."""
+    if cue_style not in ("slice", "compositional"):
+        raise ValueError(f"unknown cue_style {cue_style!r}")
     # sids are the global counter mod 10000 stepping by 2 per clip; a
     # (word, split) directory holds clips_per_split consecutive sids, so a
     # wrap can only collide INSIDE one directory when 2*clips_per_split
@@ -274,12 +410,14 @@ def make_synthetic_glips(
                     os.makedirs(os.path.dirname(npy_path), exist_ok=True)
                     np.save(npy_path, _synth_lip_sequence(rng, sig_ci, len(words), h_video))
                 if with_cues:
+                    desc_fn = (_synth_description_compositional
+                               if cue_style == "compositional" else _synth_description)
                     for mode in ("emotion", "environment"):
                         cue_records[(mode, word, split)].append(
                             {
                                 "word": word,
                                 "sequence_id": sid,
-                                "description": _synth_description(
+                                "description": desc_fn(
                                     rng, mode, sig_ci, len(words), h_cues
                                 ),
                             }
