@@ -35,14 +35,17 @@ def parse_hardness(spec):
         return {k: float(v) for k, v in (kv.split("=") for kv in spec.split(","))}
 
 
-def build_corpus(root: str, clips: int, hardness, label_noise: float, seed: int):
+def build_corpus(root: str, clips: int, hardness, label_noise: float, seed: int,
+                 cue_style: str = "slice", with_audio: bool = True,
+                 with_lip_regions: bool = True):
     from multimodal_lipread_tpu.data.synthetic import DEFAULT_WORDS, make_synthetic_glips
 
     if not os.path.exists(os.path.join(root, "lipread_files")):
         t0 = time.time()
         make_synthetic_glips(
             root, words=DEFAULT_WORDS, clips_per_split=clips, seed=seed,
-            hardness=hardness, label_noise=label_noise,
+            hardness=hardness, label_noise=label_noise, cue_style=cue_style,
+            with_audio=with_audio, with_lip_regions=with_lip_regions,
         )
         print(f"corpus built in {time.time() - t0:.1f}s: {root}", flush=True)
     return root
@@ -163,6 +166,14 @@ def main():
         "(calibrated to the BASELINE.md accuracy ordering)",
     )
     ap.add_argument("--label-noise", type=float, default=0.05)
+    ap.add_argument(
+        "--cue-style", default="slice", choices=["slice", "compositional"],
+        help="description generator for the cue corpus: 'slice' (round-2/3 "
+        "adjective-slice law — every embedding classifier saturates at the "
+        "same Bayes cap) or 'compositional' (late pair-coded class signal "
+        "after token 32; separates reader capacity like the reference "
+        "corpus — see data/synthetic.py)",
+    )
     ap.add_argument("--seed", type=int, default=11)
     ap.add_argument("--epochs-scale", type=float, default=1.0)
     ap.add_argument("--corpus", default="/tmp/hardsynth/GLips_4")
@@ -183,7 +194,15 @@ def main():
     args = ap.parse_args()
 
     hardness = parse_hardness(args.hardness)
-    root = build_corpus(args.corpus, args.clips, hardness, args.label_noise, args.seed)
+    # --only lets a partial sweep skip synthesizing modalities it won't read
+    # (a cues-only re-run on a fresh corpus needs neither wavs nor lip .npys)
+    pipes = ({s.split(":")[0] for s in args.only} if args.only else None)
+    need_audio = pipes is None or bool(
+        pipes & {"audio", "audio_video", "audio_cues", "audio_cues_video"})
+    need_video = pipes is None or bool(
+        pipes & {"video", "audio_video", "cues_video", "audio_cues_video"})
+    root = build_corpus(args.corpus, args.clips, hardness, args.label_noise,
+                        args.seed, args.cue_style, need_audio, need_video)
     cache = "/tmp/hardsynth/cue_cache"
     os.makedirs(args.out, exist_ok=True)
 
@@ -292,11 +311,17 @@ def main():
     summary_name = "summary_zoo.json" if args.zoo else "summary.json"
 
     def flush_summary(results, checks):
+        # merge: this invocation's rows override prior rows for the same
+        # (pipeline, model); every other prior row is RETAINED, so a partial
+        # re-run (--only cues on a new corpus) can't erase the other families
+        merged = dict(prior)
+        for r in results:
+            merged[(r["pipeline"], r["model"])] = r
         summary = {
             "hardness": hardness, "label_noise": args.label_noise,
             "clips_per_split": args.clips, "seed": args.seed,
             "results": [{k: v for k, v in r.items() if k != "history"}
-                        for r in results],
+                        for r in merged.values()],
             "ordering_checks": checks,
         }
         # atomic: a watchdog kill mid-write must not corrupt the prior-row
@@ -328,7 +353,9 @@ def main():
         shutil.rmtree(out_dir, ignore_errors=True)
         cfg["output"] = {"base_dir": out_dir, "plots": True}
         try:
-            results.append(run_pipeline(pipeline, cfg, out_dir))
+            row = run_pipeline(pipeline, cfg, out_dir)
+            row["cue_style"] = args.cue_style  # corpus provenance per row
+            results.append(row)
         except Exception as e:  # keep sweeping; report at the end
             print(f"[{pipeline}:{model}] FAILED: {e}", flush=True)
             results.append({"pipeline": pipeline, "model": model, "error": str(e)})

@@ -172,6 +172,16 @@ def build_report(summary_path: str) -> str:
                 oa = orank = lr = wall = "—"
             lines.append(f"| {model} | {ra} | {rr} | {oa} | {orank} | {lr} | {wall} |")
         lines.append("")
+        styles = {(r or {}).get("cue_style", "slice") for _, _, r in rows if r}
+        if fam in ("cues", "audio_cues", "cues_video", "audio_cues_video") \
+                and "compositional" in styles:
+            lines.append(
+                "Cue corpus: `cue_style=compositional` (late pair-coded class"
+                " signal after token 32 — separates reader capacity the way"
+                " the reference corpus does; `data/synthetic.py`)."
+                + (" Rows are MIXED corpus styles — re-run the family for a"
+                   " consistent table." if len(styles) > 1 else ""))
+            lines.append("")
         if fam in FAMILY_NOTES:
             lines.append(FAMILY_NOTES[fam])
             lines.append("")
@@ -192,10 +202,12 @@ def build_report(summary_path: str) -> str:
         lines.append("")
         lines.append(
             "ρ is only meaningful where the build separates the family: when"
-            " the spread is within a couple of points (e.g. the cues family —"
-            " synthetic cue text carries a fixed recoverable signal that every"
-            " embedding classifier saturates), within-family ranks are tie"
-            "-noise and ρ carries no signal.")
+            " the spread is within a couple of points, within-family ranks"
+            " are tie-noise and ρ carries no signal. (Round 3's slice-style"
+            " cue corpus had exactly this failure — every embedding"
+            " classifier saturated at the same Bayes cap, 2.5-pt spread —"
+            " which is why the cues family now trains on the compositional"
+            " corpus.)")
         lines.append("")
     done = len(ours)
     total = sum(len(v) for v in REFERENCE.values())
