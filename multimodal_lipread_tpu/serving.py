@@ -149,6 +149,72 @@ class Predictor:
         return np.argmax(self.predict_logits(*inputs), axis=-1)
 
 
+def load_test(
+    predictor: "Predictor",
+    inputs: Sequence[np.ndarray],
+    num_threads: int = 4,
+    requests_per_thread: int = 25,
+) -> Dict[str, Any]:
+    """Sustained concurrent-request harness for a Predictor.
+
+    ``num_threads`` client threads each submit ``requests_per_thread``
+    fixed-batch requests back-to-back; every request is synchronized (the
+    logits are fetched to host) so the recorded latency is the full
+    request→response time a serving client would see, including queueing
+    behind the other clients on the single device stream. Returns the
+    per-request latency distribution (p50/p90/p99, ms) and the aggregate
+    throughput. The forward is pre-warmed (compiled) before the clock
+    starts, matching a steady-state server."""
+    import threading
+    import time as _time
+
+    fwd = predictor._forward()
+    arrays = tuple(map(jnp.asarray, inputs))
+    if predictor.mesh is not None:
+        from multimodal_lipread_tpu.parallel.mesh import shard_batch
+
+        arrays = shard_batch(predictor.mesh, arrays)
+    np.asarray(fwd(predictor.variables, *arrays))  # compile + warm
+
+    latencies: List[List[float]] = [[] for _ in range(num_threads)]
+    barrier = threading.Barrier(num_threads + 1)
+
+    def client(tid: int) -> None:
+        barrier.wait()
+        for _ in range(requests_per_thread):
+            t0 = _time.perf_counter()
+            out = fwd(predictor.variables, *arrays)
+            out.block_until_ready()
+            latencies[tid].append(_time.perf_counter() - t0)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(num_threads)]
+    for t in threads:
+        t.start()
+    barrier.wait()
+    t_start = _time.perf_counter()
+    for t in threads:
+        t.join()
+    wall = _time.perf_counter() - t_start
+    lats = np.sort(np.concatenate([np.asarray(l) for l in latencies]))
+    n_req = len(lats)
+    batch = int(inputs[0].shape[0])
+
+    def pct(p: float) -> float:
+        return float(lats[min(n_req - 1, int(round(p / 100 * (n_req - 1))))])
+
+    return {
+        "num_threads": num_threads,
+        "requests": n_req,
+        "batch": batch,
+        "throughput_clips_per_s": batch * n_req / wall,
+        "p50_ms": pct(50) * 1e3,
+        "p90_ms": pct(90) * 1e3,
+        "p99_ms": pct(99) * 1e3,
+        "max_ms": float(lats[-1]) * 1e3,
+        "wall_s": wall,
+    }
+
+
 def export_stablehlo(model: Any, variables: Dict[str, Any], example_inputs: Sequence[Any]) -> bytes:
     """Serialize the inference function to portable StableHLO bytes
     (jax.export); reload anywhere with ``jax.export.deserialize``."""

@@ -230,3 +230,47 @@ def test_export_streaming_audio_checkpoint(glips_root, tmp_path):
     np.testing.assert_allclose(
         logits, np.asarray([r["logits"] for r in ref]), rtol=1e-4, atol=1e-5
     )
+
+
+def test_bf16_serving_parity_with_f32_checkpoint():
+    """An f32-trained checkpoint served with computation dtype bf16 must
+    agree with f32 serving: identical top-1 on random inputs, logits within
+    bf16 tolerance. This is the production serving recipe (bench.py serves
+    every model bf16); the params stay f32 — only activations/matmuls drop
+    precision (flax dtype semantics)."""
+    from multimodal_lipread_tpu.models.audio import get_audio_model
+    from multimodal_lipread_tpu.serving import Predictor
+
+    rng = jax.random.PRNGKey(0)
+    mel = np.random.default_rng(1).standard_normal((16, 80, 117)).astype(np.float32)
+    f32 = get_audio_model("resnet", 4)
+    variables = f32.init({"params": rng, "dropout": rng}, mel[:1], train=False)
+    bf16 = get_audio_model("resnet", 4, dtype=jnp.bfloat16)
+
+    logits_f32 = Predictor(model=f32, variables=variables, batch_size=16).predict_logits(mel)
+    logits_bf16 = Predictor(model=bf16, variables=variables, batch_size=16).predict_logits(mel)
+    assert logits_bf16.dtype == np.float32 or logits_bf16.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.argmax(logits_f32, -1), np.argmax(np.asarray(logits_bf16, np.float32), -1))
+    spread = np.abs(logits_f32).max()
+    np.testing.assert_allclose(
+        np.asarray(logits_bf16, np.float32), logits_f32, atol=0.05 * max(1.0, spread))
+
+
+def test_load_test_harness():
+    """Concurrent-client harness: correct request accounting, sane latency
+    distribution ordering, and thread-safe shared use of one compiled fn."""
+    from multimodal_lipread_tpu.models.cues import get_cue_model
+    from multimodal_lipread_tpu.serving import Predictor, load_test
+
+    model = get_cue_model("dense_nn", 4)
+    rng = jax.random.PRNGKey(0)
+    cue = np.random.default_rng(2).standard_normal((8, 768)).astype(np.float32)
+    variables = model.init({"params": rng, "dropout": rng}, cue[:1], train=False)
+    pred = Predictor(model=model, variables=variables, batch_size=8)
+
+    stats = load_test(pred, (cue,), num_threads=3, requests_per_thread=4)
+    assert stats["requests"] == 12
+    assert stats["batch"] == 8
+    assert 0 < stats["p50_ms"] <= stats["p90_ms"] <= stats["p99_ms"] <= stats["max_ms"]
+    assert stats["throughput_clips_per_s"] > 0
