@@ -164,10 +164,18 @@ def load_pretrained_backbones(trainer, cfg: Config) -> int:
           pretrained:
             - arch: resnet18          # resnet18|resnet34|resnet50|vgg11|vgg13|
                                       # vgg16|vgg19|mobilenet_v2|mobilenet_v3_small|
-                                      # shufflenet_v2_x0_5|shufflenet_v2_x1_0
+                                      # shufflenet_v2_x0_5|shufflenet_v2_x1_0|
+                                      # checkpoint (a Trainer .msgpack)
               path: /weights/resnet18.pth   # torch.save(model.state_dict(), ...)
               submodule: [resnet]           # path inside the model tree
               adapt_1ch: true               # fold RGB conv1 for mel inputs
+
+    ``arch: checkpoint`` grafts from one of THIS framework's own trained
+    msgpack checkpoints instead of a torchvision .pth — in-framework
+    transfer learning (e.g. warm-start a fusion model's backbone from a
+    single-modality run). ``source_submodule: [vgg]`` picks the subtree
+    inside the source checkpoint's params/batch_stats (omit to take the
+    whole tree).
 
     The reference initializes every backbone from torchvision ImageNet
     weights (e.g. video/models/resnet_lstm.py:80-84); this is the equivalent
@@ -204,6 +212,27 @@ def load_pretrained_backbones(trainer, cfg: Config) -> int:
     count = 0
     for spec in specs:
         arch = spec["arch"]
+        if arch == "checkpoint":
+            # graft from one of our OWN trained msgpack checkpoints
+            # (template-free restore; subtree picked by source_submodule)
+            from flax.serialization import msgpack_restore
+
+            with open(spec["path"], "rb") as f:
+                ckpt = msgpack_restore(f.read())
+            src_state = ckpt.get("state", ckpt)
+            converted = {}
+            for collection in ("params", "batch_stats"):
+                node = src_state.get(collection)
+                if node is None:
+                    continue
+                for key in spec.get("source_submodule", ()):  # descend
+                    node = node[key]
+                if node:  # empty batch_stats ({}): skip the collection
+                    converted[collection] = node
+            variables = ti.graft_backbone(
+                variables, converted, tuple(spec["submodule"]))
+            count += 1
+            continue
         if arch not in converters:
             raise ValueError(
                 f"Unknown pretrained arch '{arch}'. Supported: {sorted(converters)}"
