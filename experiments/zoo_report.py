@@ -66,6 +66,21 @@ FAMILY_ORDER = ["audio", "video", "audio_video", "cues", "audio_cues",
                 "cues_video", "audio_cues_video"]
 
 FAMILY_NOTES = {
+    "cues": (
+        "Round 3's slice corpus saturated every reader at one Bayes cap "
+        "(2.5-pt spread, ρ=-0.36 tie-noise); the compositional corpus "
+        "separates reader CAPACITY like the reference corpus does (its "
+        "46-pt spread, cues_compare.py:11-12): the class signal is a word "
+        "PAIR placed after token 32, so the three token-level models — "
+        "which truncate to 32 tokens exactly like the reference's "
+        "(cnn_lstm.py:66 max_length=32) — see only a weak early marker and "
+        "floor at 44% while full-text pooled readers reach 66-75%, "
+        "reproducing the reference's 18.75-30% token-model floor. The "
+        "residual rank noise is WITHIN the pooled group (dense_nn/"
+        "multi_attn/minilm_lstm all read the same sentence embedding; "
+        "their reference spread also collapses within-group to 14 pts vs "
+        "the 35-pt group gap)."
+    ),
     "audio_cues": (
         "The reference never demonstrated this family: its only committed log "
         "(`audio_cues/metrics/middle_fusion_mobile_training_log.csv`) is a "

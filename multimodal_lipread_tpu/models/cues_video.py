@@ -195,27 +195,42 @@ class MultimodalCueVideoNet(nn.Module):
 
 
 def get_cues_video_model(name: str, num_classes: int, dtype: Any = jnp.float32,
-                         frozen_bn_eval: bool = False) -> nn.Module:
+                         frozen_bn_eval: bool = False,
+                         freeze_backbone: "bool | None" = None) -> nn.Module:
     # reference parity: mobile encoders = frozen MobileNet + 1-layer BiLSTM;
     # resnet encoders = trainable ResNet18 + 2-layer BiLSTM (see
     # VideoLSTMSeqEncoder docstring for the file:line evidence).
     # frozen_bn_eval pins the FROZEN backbone's BN to running stats (enables
     # exact feature caching) — a no-op for the trainable-backbone variants.
+    # freeze_backbone=None keeps each variant's reference default; an
+    # explicit bool overrides it (config model.freeze_backbone) — the
+    # reference's frozen-mobile design presumes IMAGENET features
+    # (middle_fusion_mobile.py:70 pretrained=True), which this zero-egress
+    # image cannot provide, so unfreezing is the honest trainable fallback
+    # (see experiments/cues_video_rank_study.py for the measured effect).
+    fz = freeze_backbone
+
+    def _fz(default: bool) -> bool:
+        return default if fz is None else fz
+
     if name == "early_fusion_mobile":
-        return EarlyAttentionFusion(num_classes, "mobilenet_v2", True, 1,
+        return EarlyAttentionFusion(num_classes, "mobilenet_v2", _fz(True), 1,
                                     frozen_bn_eval, dtype=dtype)
     if name == "middle_fusion_mobile":
-        return MiddleAttentionFusion(num_classes, "mobilenet_v2", True, 1,
+        return MiddleAttentionFusion(num_classes, "mobilenet_v2", _fz(True), 1,
                                      frozen_bn_eval, dtype=dtype)
     if name == "late_fusion_mobile":
-        return LateAttentionFusion(num_classes, "mobilenet_v2", True, 1,
+        return LateAttentionFusion(num_classes, "mobilenet_v2", _fz(True), 1,
                                    frozen_bn_eval, dtype=dtype)
     if name == "early_fusion_resnet":
-        return EarlyAttentionFusion(num_classes, "resnet18", False, 2, dtype=dtype)
+        return EarlyAttentionFusion(num_classes, "resnet18", _fz(False), 2,
+                                    frozen_bn_eval, dtype=dtype)
     if name == "middle_fusion_resnet":
-        return MiddleAttentionFusion(num_classes, "resnet18", False, 2, dtype=dtype)
+        return MiddleAttentionFusion(num_classes, "resnet18", _fz(False), 2,
+                                     frozen_bn_eval, dtype=dtype)
     if name == "late_fusion_resnet":
-        return LateAttentionFusion(num_classes, "resnet18", False, 2, dtype=dtype)
+        return LateAttentionFusion(num_classes, "resnet18", _fz(False), 2,
+                                   frozen_bn_eval, dtype=dtype)
     if name == "test_model":
         return MultimodalCueVideoNet(num_classes, dtype=dtype)
     raise ValueError(f"Unknown cues_video model: {name}")

@@ -105,9 +105,22 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     frozen_bn_eval = cache_frozen or bool(
         cfg.get("training.frozen_bn_eval", cfg.get("train.frozen_bn_eval", False))
     )
+    # model.freeze_backbone overrides each variant's reference default
+    # (frozen MobileNet / trainable ResNet — models/cues_video.py); with an
+    # explicit False the optimizer must also see NO frozen prefixes and
+    # feature caching is meaningless
+    freeze_backbone = cfg.get("model.freeze_backbone")
+    if freeze_backbone is False:
+        cache_frozen = False
+        frozen_prefixes = ()
+    elif freeze_backbone is True:  # every variant's CNN lives at this path
+        frozen_prefixes = (("video_encoder", "cnn"),)
+    else:
+        frozen_prefixes = FROZEN_PARAM_PREFIXES.get(model_name, ())
     trainer = Trainer(
         get_cues_video_model(model_name, num_classes, dtype=model_dtype(cfg),
-                             frozen_bn_eval=frozen_bn_eval),
+                             frozen_bn_eval=frozen_bn_eval,
+                             freeze_backbone=freeze_backbone),
         TrainerConfig(
             model_name=model_name,
             num_classes=num_classes,
@@ -126,7 +139,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             metrics_dir=metrics_dir,
             checkpoints_dir=ckpt_dir,
             test_every_epoch=True,
-            frozen_param_prefixes=FROZEN_PARAM_PREFIXES.get(model_name, ()),
+            frozen_param_prefixes=frozen_prefixes,
             **trainer_extras(cfg),
         ),
     )

@@ -131,3 +131,17 @@ def test_frozen_encoders_stop_gradients():
     )
     assert audio_grad == 0.0  # frozen
     assert proj_grad > 0.0  # projection still trains
+
+
+def test_cues_video_freeze_backbone_override():
+    """model.freeze_backbone overrides each variant's reference default
+    (frozen mobile / trainable resnet) — the causal-control knob of
+    experiments/cues_video_rank_study.py."""
+    from multimodal_lipread_tpu.models.cues_video import get_cues_video_model
+
+    assert get_cues_video_model("middle_fusion_mobile", 4).freeze_backbone is True
+    assert get_cues_video_model(
+        "middle_fusion_mobile", 4, freeze_backbone=False).freeze_backbone is False
+    assert get_cues_video_model("middle_fusion_resnet", 4).freeze_backbone is False
+    assert get_cues_video_model(
+        "middle_fusion_resnet", 4, freeze_backbone=True).freeze_backbone is True
