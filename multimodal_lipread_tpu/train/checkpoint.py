@@ -88,10 +88,19 @@ def save_checkpoint_orbax(directory: str, tree: Dict[str, Any], async_save: bool
     # a previous async save to this path may still be in flight — wait
     # BEFORE the existence check (it commits the directory via rename)
     wait_for_async_saves()
-    if os.path.exists(path):
+    import jax
+
+    if os.path.exists(path) and jax.process_index() == 0:
+        # multi-host orbax saves are COLLECTIVE to one shared directory
+        # (unlike msgpack's host-local files): only the primary clears the
+        # old checkpoint, and everyone barriers before the new save starts
         import shutil
 
         shutil.rmtree(path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"mlt_orbax_clear:{path}")
     if async_save:
         _get_async_checkpointer().save(path, _to_host(tree))
     else:

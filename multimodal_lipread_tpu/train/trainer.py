@@ -1108,7 +1108,24 @@ class Trainer:
                     self._save_ckpt(rolling_path, ckpt)
 
         result: Dict[str, Any] = {"history": history, "best_val_acc": best_val_acc}
-        if test_ds is not None and os.path.exists(best_path):
+        if cfg.checkpoint_backend == "orbax_async":
+            # the best checkpoint may still be writing in background; commit
+            # it BEFORE the existence gate below, or final-test-on-best races
+            # the async rename (and can silently skip)
+            from multimodal_lipread_tpu.train.checkpoint import wait_for_async_saves
+
+            wait_for_async_saves()
+        have_best = os.path.exists(best_path)
+        if jax.process_count() > 1:
+            # evaluate() is a collective: every host must take the same
+            # branch. Hosts checkpoint to host-local dirs, so a per-host
+            # filesystem hiccup could otherwise strand the others in the
+            # eval collective — agree on min(exists) first.
+            from jax.experimental import multihost_utils
+
+            flags = multihost_utils.process_allgather(np.asarray(1 if have_best else 0))
+            have_best = bool(np.asarray(flags).min())
+        if test_ds is not None and have_best:
             best = self._load_ckpt(best_path, ckpt_template())
             best_state = replicate(self.mesh, best["state"])
             final = self.evaluate(

@@ -16,8 +16,15 @@ Modes (``--mode``):
 - ``preempt``  longer run with ``handle_preemption=True``; process 0
                SIGTERMs ITSELF at the end of epoch 3 — both hosts must agree
                to stop via the epoch-boundary consensus and checkpoint.
-- ``resume``   ``fit(resume=True)`` from the preemption checkpoint; must
-               replay the interrupted epoch and finish the schedule.
+- ``longtrain`` the preempt config with NO self-signal: the orchestrator
+               SIGKILLs one host mid-run (hard crash) and later relaunches
+               everyone in ``resume`` mode.
+- ``resume``   ``fit(resume=True)`` from the preemption/rolling checkpoint;
+               must replay the interrupted epoch and finish the schedule.
+
+Process/device geometry comes from the environment: ``JAX_NUM_PROCESSES``
+hosts × ``MP_FIT_LOCAL_DEVICES`` virtual CPU devices each (default 4);
+``MP_FIT_CKPT_BACKEND`` selects msgpack/orbax/orbax_async checkpoints.
 
 The reference is single-device (reference: audio/train.py:196); multi-host
 data parallelism is this framework's added capability, so these assertions
@@ -30,10 +37,11 @@ import os
 import signal
 import sys
 
+_LOCAL_DEVICES = int(os.environ.get("MP_FIT_LOCAL_DEVICES", "4"))
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=4"
+        _flags + f" --xla_force_host_platform_device_count={_LOCAL_DEVICES}"
     ).strip()
 
 import jax
@@ -72,15 +80,18 @@ class BlobSource:
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=["train", "preempt", "resume"], required=True)
+    ap.add_argument(
+        "--mode", choices=["train", "preempt", "longtrain", "resume"],
+        required=True)
     ap.add_argument("--workdir", required=True)
     args = ap.parse_args()
 
     from multimodal_lipread_tpu.parallel.distributed import maybe_initialize_distributed
 
+    n_procs = int(os.environ["JAX_NUM_PROCESSES"])
     assert maybe_initialize_distributed(), "distributed init did not fire"
-    assert jax.process_count() == 2, jax.process_count()
-    assert len(jax.devices()) == 8, len(jax.devices())
+    assert jax.process_count() == n_procs, jax.process_count()
+    assert len(jax.devices()) == n_procs * _LOCAL_DEVICES, len(jax.devices())
     pid = jax.process_index()
 
     import flax.linen as nn
@@ -103,9 +114,15 @@ def main():
     val_ds = StreamingDataset(BlobSource(32, seed=2), input_keys=("x",))
     test_ds = StreamingDataset(BlobSource(24, seed=3), input_keys=("x",))
 
-    # per-host dirs: models a TPU pod's host-local disks; the orchestrator
-    # asserts the two hosts' checkpoints come out bit-identical
+    # msgpack checkpoints go to per-host dirs (models a TPU pod's host-local
+    # disks; the orchestrator asserts they come out bit-identical). Orbax
+    # checkpoints are COLLECTIVE: every host participates in ONE save to a
+    # SHARED directory (the standard multi-host orbax deployment).
+    backend = os.environ.get("MP_FIT_CKPT_BACKEND", "msgpack")
     host_dir = os.path.join(args.workdir, f"host{pid}")
+    ckpt_dir = (os.path.join(args.workdir, "shared", "ckpt")
+                if backend.startswith("orbax")
+                else os.path.join(host_dir, "ckpt"))
     common = dict(
         model_name="mpfit",
         num_classes=N_CLASSES,
@@ -113,7 +130,8 @@ def main():
         learning_rate=1e-2,
         weight_decay=0.0,
         metrics_dir=os.path.join(host_dir, "metrics"),
-        checkpoints_dir=os.path.join(host_dir, "ckpt"),
+        checkpoints_dir=ckpt_dir,
+        checkpoint_backend=backend,
     )
 
     if args.mode == "train":
@@ -121,7 +139,7 @@ def main():
             epochs=4, lr_schedule="linear_warmup", warmup_proportion=0.2, **common
         )
         trainer = Trainer(Mlp(), cfg)
-        per_host = BATCH // 2
+        per_host = BATCH // n_procs
         local_batches = -(-len(train_ds) // per_host)
         print(
             "SHARDS "
@@ -149,6 +167,15 @@ def main():
                 os.kill(os.getpid(), signal.SIGTERM)
 
         result = trainer.fit(train_ds, val_ds, test_ds, progress=progress)
+    elif args.mode == "longtrain":
+        # like preempt but with NO graceful signal: the orchestrator SIGKILLs
+        # one host mid-run (hard crash), then relaunches everyone in resume
+        # mode — recovery rides the atomic rolling checkpoints alone
+        cfg = TrainerConfig(
+            epochs=8, handle_preemption=True, rolling_checkpoint=True, **common
+        )
+        trainer = Trainer(Mlp(), cfg)
+        result = trainer.fit(train_ds, val_ds, test_ds, progress=None)
     else:  # resume
         cfg = TrainerConfig(
             epochs=8, handle_preemption=True, rolling_checkpoint=True, **common
