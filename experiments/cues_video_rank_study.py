@@ -35,9 +35,11 @@ Run on the chip:  PYTHONPATH=/root/repo:/root/.axon_site \
 import argparse
 import json
 import os
+import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 OUT = os.path.join(REPO, "experiments", "cues_video_rank_study")
 
 FAMILY_CORPUS = "/tmp/hardsynth/GLips_4"

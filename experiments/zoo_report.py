@@ -66,6 +66,33 @@ FAMILY_ORDER = ["audio", "video", "audio_video", "cues", "audio_cues",
                 "cues_video", "audio_cues_video"]
 
 FAMILY_NOTES = {
+    "audio": (
+        "Rows are the round-4 re-sweep under the shipping code: round 3's "
+        "VGG-pair rows (79.62 both) proved non-reproducible at the identical "
+        "protocol + bit-identical corpus (five independent round-4 runs all "
+        "land at 83.4-84.4 — flat across lr 1e-4..1e-3 and ±1 pt under "
+        "structured-prior grafts, so neither LR-sensitivity nor the "
+        "reference's ImageNet-init confound explains the old rows; "
+        "experiments/audio_rank_study/REPORT.md). At this corpus difficulty "
+        "the family top compresses into ~1 pt, so residual rank noise there "
+        "is tie-noise, not capability failure."
+    ),
+    "cues_video": (
+        "The three MOBILE variants freeze their per-frame MobileNetV2 to "
+        "match the reference (middle_fusion_mobile.py:70 — frozen ImageNet "
+        "features); with no ImageNet weights in this zero-egress image the "
+        "frozen backbone is a RANDOM projection, violating the reference's "
+        "design assumption that frozen features are informative. The "
+        "round-4 causal study (experiments/cues_video_rank_study/REPORT.md) "
+        "confirms the init-confound: unfreezing lifts the worst offender "
+        "+5.5; grafting even a weak in-task donor (3.9% on 100-class video) "
+        "as the frozen backbone lifts middle_fusion_mobile 27.75 → 41.62 "
+        "and RESTORES the reference's within-mobile order (middle > late > "
+        "early), raising family ρ from +0.26 to +0.60. The residual — the "
+        "reference's middle_fusion_mobile outranking the trained-from-"
+        "scratch resnet variants — needs ImageNet-grade features and is "
+        "irreducible without real weights."
+    ),
     "cues": (
         "Round 3's slice corpus saturated every reader at one Bayes cap "
         "(2.5-pt spread, ρ=-0.36 tie-noise); the compositional corpus "
