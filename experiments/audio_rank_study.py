@@ -39,9 +39,11 @@ Run on the chip:  PYTHONPATH=/root/repo:/root/.axon_site \
 import argparse
 import json
 import os
+import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 OUT = os.path.join(REPO, "experiments", "audio_rank_study")
 
 FAMILY_CORPUS = "/tmp/hardsynth/GLips_4"
@@ -164,9 +166,10 @@ def main():
     build_family_corpus()
     build_prior_corpus()
 
-    # A. LR sensitivity for the VGG pair
+    # A. LR sensitivity for the VGG pair (5e-4 = the family protocol point,
+    # re-run to confirm the round-3 zoo rows reproduce on the rebuilt corpus)
     for model_name in ("vgg_lstm", "vgg"):
-        for lr in (1e-4, 1e-3):
+        for lr in (1e-4, 5e-4, 1e-3):
             tag = f"{model_name}_lr{lr:g}"
             if args.skip_existing and done(tag):
                 print(f"{tag}: done, skipping", flush=True)
