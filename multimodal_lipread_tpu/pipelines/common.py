@@ -327,6 +327,7 @@ def trainer_extras(cfg: Config, default_warmup_epochs: float = 0.0) -> dict:
         "half_precision": cfg.get("training.half_precision", False),
         "checkpoint_backend": cfg.get("training.checkpoint_backend", "msgpack"),
         "profile_dir": cfg.get("training.profile_dir", None),
+        "dropout_rng_impl": cfg.get("training.dropout_rng_impl", "rbg"),
         "mixup_alpha": cfg.get(
             # the reference's (dead) YAML block spells it augmentation.mixup_alpha
             "training.mixup_alpha", cfg.get("augmentation.mixup_alpha", 0.0)

@@ -139,6 +139,17 @@ class TrainerConfig:
     # step k; a bounded FIFO restores the overlap without changing batch
     # order (trajectories stay bit-identical). 0 disables.
     host_prefetch: int = 2
+    # PRNG implementation for the per-step dropout/mixup stream. 'rbg'
+    # (default) uses the TPU's hardware RngBitGenerator — measured 2.26×
+    # faster train steps on the dropout-dense conformer (11.32 → 5.01 ms;
+    # docs/PERFORMANCE.md "MFU attribution: audio conformer"), because
+    # threefry2x32 computes ~32 VPU ops per random bit while rbg streams
+    # bits at hardware rate. This matches the reference's effective
+    # semantics (torch dropout uses curand's hardware Philox generator,
+    # not a pure-function PRNG). 'threefry2x32' is the opt-in for strict
+    # bit-identical masks across backends/XLA versions; both choices give
+    # reproducible trajectories for a fixed seed on a fixed stack.
+    dropout_rng_impl: str = "rbg"
     # catch SIGTERM/SIGINT during fit(): finish the in-flight batch, write
     # the rolling checkpoint (attributed to the last COMPLETED epoch, so a
     # --resume replays the interrupted epoch), and return with
@@ -378,6 +389,18 @@ class Trainer:
             )
 
         return optax.inject_hyperparams(tx_fn)(learning_rate=self.config.learning_rate)
+
+    def _dropout_rng(self, seed: int):
+        """Key for the per-step dropout/mixup stream (config.dropout_rng_impl).
+
+        Parameter INIT stays on threefry (init_state) — init draws are tiny
+        and keeping them impl-independent means switching dropout_rng_impl
+        never changes a model's starting point.
+        """
+        impl = self.config.dropout_rng_impl
+        if impl == "threefry2x32":
+            return jax.random.PRNGKey(seed)
+        return jax.random.key(seed, impl=impl)
 
     def init_state(self, example_inputs: Sequence[np.ndarray]) -> Dict[str, Any]:
         """Initialize parameters/optimizer; replicate over the mesh."""
@@ -715,7 +738,7 @@ class Trainer:
             self._batches(ds, shuffle=False, rng=np.random.default_rng(seed))
         )
         self.state, loss_sum, _correct, _n, wsum = self._train_step(
-            self.state, inputs, labels, weights, jax.random.PRNGKey(seed)
+            self.state, inputs, labels, weights, self._dropout_rng(seed)
         )
         return float(loss_sum) / max(float(wsum), 1e-9)
 
@@ -981,7 +1004,7 @@ class Trainer:
         if start_epoch > 1 and isinstance(train_ds, ArrayDataset):
             for _ in range(start_epoch - 1):
                 data_rng.permutation(len(train_ds))
-        base_rng = jax.random.PRNGKey(cfg.seed + 1)
+        base_rng = self._dropout_rng(cfg.seed + 1)
         history: List[Dict[str, float]] = []
 
         boundary_state = None

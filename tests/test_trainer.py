@@ -692,3 +692,49 @@ def test_preemption_resume_exact_replay(tmp_path):
         for k in ("train_loss", "train_acc", "val_loss", "val_acc"):
             assert got[k] == pytest.approx(h[k], abs=1e-6), (h["epoch"], k)
     assert r2["final_test_acc"] == pytest.approx(ref["final_test_acc"], abs=1e-6)
+
+
+def test_dropout_rng_impl(tmp_path):
+    """The dropout stream defaults to the hardware 'rbg' generator (2.26x
+    faster conformer steps, docs/PERFORMANCE.md "MFU attribution: audio
+    conformer"); threefry2x32 stays available as the opt-in for
+    cross-backend bit-stable masks. Both must (a) produce the advertised
+    key impl, (b) train, and (c) be run-to-run reproducible at a fixed
+    seed on a fixed stack."""
+    from flax import linen as nn
+
+    class Drop(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = nn.Dense(32)(x.reshape(x.shape[0], -1))
+            x = nn.relu(x)
+            x = nn.Dropout(0.5)(x, deterministic=not train)
+            return nn.Dense(4)(x)
+
+    def fit(tag, impl):
+        trainer = Trainer(
+            Drop(),
+            TrainerConfig(
+                model_name=tag, num_classes=4, batch_size=16, epochs=2,
+                learning_rate=1e-2, weight_decay=0.0,
+                metrics_dir=str(tmp_path / tag / "m"),
+                checkpoints_dir=str(tmp_path / tag / "c"),
+                test_every_epoch=False, dropout_rng_impl=impl,
+            ),
+        )
+        key = trainer._dropout_rng(0)
+        assert str(jax.random.key_impl(key)) == impl
+        result = trainer.fit(_tiny_dataset(64, seed=0), _tiny_dataset(32, seed=1),
+                             None, progress=None)
+        return [(h["train_loss"], h["val_loss"]) for h in result["history"]]
+
+    assert TrainerConfig(model_name="x", num_classes=4).dropout_rng_impl == "rbg"
+    rbg_a = fit("rbg_a", "rbg")
+    rbg_b = fit("rbg_b", "rbg")
+    assert rbg_a == rbg_b  # same seed, same stack -> identical trajectory
+    tf_a = fit("tf_a", "threefry2x32")
+    assert all(np.isfinite(v) for pair in tf_a for v in pair)
+    # dropout masks actually differ between generators (same seed): with
+    # p=0.5 on a 32-wide layer the trajectories collide only if the impl
+    # knob silently did nothing
+    assert tf_a != rbg_a
