@@ -100,6 +100,74 @@ def pretrain_mobilenet(epochs=12):
     return ckpt
 
 
+def pretrain_frame_donor(epochs=6):
+    """Stronger donor than the LSTM-wrapped video run: MobileNetV2 trained
+    DIRECTLY as a per-frame classifier (the synthetic video law is
+    per-frame: brightness level + stripe period), so the conv trunk gets a
+    clean dense gradient instead of one diluted through 29 timesteps of a
+    from-scratch BiLSTM. Same donor corpus, same graftable `cnn` subtree."""
+    import flax.linen as nn
+    import jax.numpy as jnp
+    import numpy as np
+
+    from multimodal_lipread_tpu.data.glips import scan_lip_regions
+    from multimodal_lipread_tpu.models.backbones import MobileNetV2
+    from multimodal_lipread_tpu.train.trainer import (
+        ArrayDataset, Trainer, TrainerConfig)
+
+    out_dir = "/tmp/prior_runs/frame_donor"
+    ckpt = os.path.join(out_dir, "ckpt", "frame_donor_best.msgpack")
+    if os.path.exists(ckpt):
+        print(f"strong donor: reusing {ckpt}", flush=True)
+        return ckpt
+
+    class _FrameClassifier(nn.Module):
+        num_classes: int
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            feats = MobileNetV2(dtype=jnp.bfloat16, name="cnn")(x, train)
+            return nn.Dense(self.num_classes, dtype=jnp.float32,
+                            name="head")(feats)
+
+    index = scan_lip_regions(PRIOR_CORPUS + "_lip_regions")
+    words = list(index.classes)
+    wid = index.class_to_idx
+
+    def frames_of(split, per_clip=(0, 7, 14, 21, 28)):
+        xs, ys = [], []
+        for entry in sorted(index.entries, key=lambda e: e.key):
+            if entry.split != split:
+                continue
+            clip = np.load(entry.path)
+            for f in per_clip:
+                xs.append(clip[f])
+            ys.extend([wid[entry.word]] * len(per_clip))
+        return ArrayDataset(inputs=(np.stack(xs),),
+                            labels=np.asarray(ys, np.int32))
+
+    train_ds, val_ds = frames_of("train"), frames_of("val", per_clip=(14,))
+    trainer = Trainer(
+        _FrameClassifier(len(words)),
+        TrainerConfig(
+            model_name="frame_donor", num_classes=len(words),
+            batch_size=256, epochs=epochs, learning_rate=1e-3,
+            weight_decay=1e-4, metrics_dir=os.path.join(out_dir, "metrics"),
+            checkpoints_dir=os.path.join(out_dir, "ckpt"),
+            test_every_epoch=False,
+        ),
+    )
+    t0 = time.time()
+    result = trainer.fit(train_ds, val_ds, progress=print)
+    row = {"tag": "prior_frame_donor", "task": "hard100_video_frames",
+           "best_val_acc": round(result["best_val_acc"], 2),
+           "seconds": round(time.time() - t0, 1)}
+    print(json.dumps(row), flush=True)
+    with open(os.path.join(OUT, "summary.jsonl"), "a") as f:
+        f.write(json.dumps(row) + "\n")
+    return ckpt
+
+
 def run_cv(tag, model_name, out_dir, pretrained=None, freeze=None, epochs=12):
     from multimodal_lipread_tpu.config import Config
     from multimodal_lipread_tpu.pipelines.cues_video import main as cv_main
@@ -141,9 +209,28 @@ def done(tag):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-existing", action="store_true")
+    ap.add_argument(
+        "--strong", action="store_true",
+        help="run only the strong per-frame donor + the three "
+        "strong-prior-grafted mobile rows (tags *_strongprior)")
     args = ap.parse_args()
     os.makedirs(OUT, exist_ok=True)
     build_corpora()
+
+    if args.strong:
+        ckpt = pretrain_frame_donor()
+        spec = {"arch": "checkpoint", "path": ckpt,
+                "source_submodule": ["cnn"],
+                "submodule": ["video_encoder", "cnn"]}
+        for name in ("middle_fusion_mobile", "late_fusion_mobile",
+                     "early_fusion_mobile"):
+            tag = f"{name}_strongprior"
+            if args.skip_existing and done(tag):
+                print(f"{tag}: done, skipping", flush=True)
+                continue
+            run_cv(tag, name, f"/tmp/cv_runs/{tag}", pretrained=spec)
+        print("strong-donor study complete", flush=True)
+        return
 
     # A. causal control: trainable backbone on the worst offender
     if not (args.skip_existing and done("middle_fusion_mobile_unfrozen")):
