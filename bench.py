@@ -124,7 +124,10 @@ def _bench_train_step(model, inputs, labels, steps, init_inputs=None, apply_kwar
             logits, mutated = model.apply(
                 {"params": p, "batch_stats": state["batch_stats"]},
                 *xs, train=True, mutable=["batch_stats"],
-                rngs={"dropout": jax.random.PRNGKey(1)}, **extra,
+                # hardware-RNG dropout keys — the Trainer's shipping default
+                # (TrainerConfig.dropout_rng_impl='rbg'); threefry here would
+                # bench a dropout path no pipeline runs anymore
+                rngs={"dropout": jax.random.key(1, impl="rbg")}, **extra,
             )
             ce = optax.softmax_cross_entropy_with_integer_labels(
                 logits.astype(jnp.float32), labels
