@@ -41,6 +41,25 @@ def bert_base_config() -> BertConfig:
     return BertConfig()
 
 
+# Megatron-style tensor-parallel partition rules for BertClassifier params
+# (trainer.TrainerConfig.param_partition_rules + parallel.mesh.get_mesh_2d).
+# QKV projections are column-parallel over the heads axis — each model-axis
+# shard computes its own heads' attention end-to-end — and the attention
+# output projection is row-parallel (contracts the sharded heads axis; XLA
+# inserts the all-reduce). The FFN is the classic column(intermediate) →
+# row(output) pair. LayerNorms, embeddings, pooler, and the classification
+# head stay replicated: at bert-base they are <4% of encoder parameters.
+# num_heads and intermediate_size must divide the mesh's 'model' axis size.
+BERT_TP_RULES = (
+    (r"attention/(query|key|value)/kernel$", (None, "model", None)),
+    (r"attention/(query|key|value)/bias$", ("model", None)),
+    (r"attention/out/kernel$", ("model", None, None)),
+    (r"intermediate/kernel$", (None, "model")),
+    (r"intermediate/bias$", ("model",)),
+    (r"(^|/)output/kernel$", ("model", None)),
+)
+
+
 def bert_tiny_config(vocab_size: int = 8192) -> BertConfig:
     """Small config for offline training without pretrained weights."""
     return BertConfig(vocab_size=vocab_size, hidden_size=128, num_layers=2,

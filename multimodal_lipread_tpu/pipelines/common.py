@@ -181,7 +181,6 @@ def load_pretrained_backbones(trainer, cfg: Config) -> int:
     weights (e.g. video/models/resnet_lstm.py:80-84); this is the equivalent
     hook. Returns the number of backbones grafted.
     """
-    from multimodal_lipread_tpu.parallel.mesh import replicate
     from multimodal_lipread_tpu.utils import torch_import as ti
 
     specs = cfg.get("model.pretrained")
@@ -251,8 +250,21 @@ def load_pretrained_backbones(trainer, cfg: Config) -> int:
             converted = ti.adapt_first_conv_to_1ch(converted)
         variables = ti.graft_backbone(variables, converted, tuple(spec["submodule"]))
         count += 1
-    trainer.state["params"] = replicate(trainer.mesh, variables["params"])
-    trainer.state["batch_stats"] = replicate(trainer.mesh, variables["batch_stats"])
+    # re-place on the mesh: replicated (pure DP), or rule-sharded when the
+    # trainer runs tensor-parallel (duck-typed: tests drive this with a bare
+    # namespace(state, mesh), so rules resolve via getattr, not Trainer API)
+    sub = {"params": variables["params"], "batch_stats": variables["batch_stats"]}
+    rules = getattr(getattr(trainer, "config", None), "param_partition_rules", ())
+    if rules:
+        from multimodal_lipread_tpu.parallel.mesh import place_state
+
+        placed = place_state(trainer.mesh, sub, rules)
+    else:
+        from multimodal_lipread_tpu.parallel.mesh import replicate
+
+        placed = replicate(trainer.mesh, sub)
+    trainer.state["params"] = placed["params"]
+    trainer.state["batch_stats"] = placed["batch_stats"]
     return count
 
 

@@ -132,9 +132,27 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     metrics_dir, ckpt_dir = default_dirs(cfg, f"cues_{mode}")
     model = get_cue_model(model_name, num_classes, dtype=model_dtype(cfg),
                           bert_size=cfg.get("model.bert_size", "tiny"))
+    # opt-in tensor parallelism for the BERT fine-tune — the one reference
+    # family near TP scale (bert-base 110M params). training.tensor_parallel=K
+    # shards the encoder Megatron-style over a (data, model=K) 2-D mesh.
+    mesh = None
+    partition_rules = ()
+    tp = int(cfg.get("training.tensor_parallel", 1))
+    if tp > 1:
+        if model_name not in ("bert", "bert_lite"):
+            raise ValueError(
+                "training.tensor_parallel > 1 is only supported for the BERT "
+                f"cue models (got model.name={model_name!r})"
+            )
+        from multimodal_lipread_tpu.models.bert import BERT_TP_RULES
+        from multimodal_lipread_tpu.parallel.mesh import get_mesh_2d
+
+        mesh = get_mesh_2d(tp)
+        partition_rules = BERT_TP_RULES
     trainer = Trainer(
         model,
         TrainerConfig(
+            param_partition_rules=partition_rules,
             model_name=model_name,
             num_classes=num_classes,
             batch_size=cfg.get("training.batch_size", 8),
@@ -161,6 +179,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             rolling_checkpoint=cfg.get("training.rolling_checkpoint", False),
             **trainer_extras(cfg),
         ),
+        mesh=mesh,
     )
     result = trainer.fit(
         datasets["train"], datasets["val"], datasets.get("test"), resume=resume

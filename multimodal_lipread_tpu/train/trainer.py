@@ -131,6 +131,14 @@ class TrainerConfig:
     # param-path prefixes excluded from ALL optimizer updates (weight decay
     # included) — torch requires_grad=False semantics for frozen encoders
     frozen_param_prefixes: Tuple[Tuple[str, ...], ...] = ()
+    # tensor parallelism (opt-in): (path regex, PartitionSpec axis tuple)
+    # rules sharding parameters — and, because optax moments mirror the
+    # param tree, the Adam state — over the mesh's 'model' axis. Pass a
+    # 2-D mesh from parallel.mesh.get_mesh_2d alongside. Empty = pure DP
+    # with replicated params (the default; the reference families are far
+    # below TP scale — BERT fine-tune is the exception, models/bert.py
+    # ships BERT_TP_RULES).
+    param_partition_rules: Tuple[Tuple[str, Tuple[Optional[str], ...]], ...] = ()
     # run batch PREPARATION (host decode, padding, the device_put H2D copy)
     # in a side thread, up to this many batches ahead of the consuming step
     # loop. The step dispatch itself is already async, but on hosts where
@@ -426,9 +434,19 @@ class Trainer:
             "step": jnp.zeros((), jnp.int32),
         }
         self._tx = tx
-        self.state = replicate(self.mesh, state)
+        self.state = self._place(state)
         self._current_lr = float(self.config.learning_rate)  # tx.init's leaf
         return self.state
+
+    def _place(self, state: Dict[str, Any]) -> Dict[str, Any]:
+        """Put a host-side state tree on the mesh: replicated (pure DP) or
+        per-leaf rule-sharded (tensor parallel)."""
+        rules = self.config.param_partition_rules
+        if not rules:
+            return replicate(self.mesh, state)
+        from multimodal_lipread_tpu.parallel.mesh import place_state
+
+        return place_state(self.mesh, state, rules)
 
     def ensure_initialized(self, ds: Any) -> None:
         """Initialize parameters from a dataset's input template if needed.
@@ -503,6 +521,20 @@ class Trainer:
         mixup_alpha = self.config.mixup_alpha
         num_classes = self.config.num_classes
 
+        # under tensor parallelism, pin the updated params/opt_state to the
+        # rule shardings — GSPMD would almost always propagate them anyway,
+        # but the constraint makes "params stay 'model'-sharded across steps"
+        # a compiler invariant rather than a heuristic outcome. (params and
+        # opt_state only: the model.apply-returned batch_stats container type
+        # can differ from the state's — FrozenDict vs dict — and an empty-BN
+        # model would fail the whole-tree prefix match.)
+        tp_shardings = None
+        if self.config.param_partition_rules and self.state is not None:
+            tp_shardings = (
+                jax.tree_util.tree_map(lambda a: a.sharding, self.state["params"]),
+                jax.tree_util.tree_map(lambda a: a.sharding, self.state["opt_state"]),
+            )
+
         def train_step(state, inputs, labels, weights, rng):
             inputs = tuple(cast(x) for x in inputs)
             step_rng = jax.random.fold_in(rng, state["step"])
@@ -541,6 +573,9 @@ class Trainer:
             new_params = optax.apply_updates(state["params"], updates)
             correct = jnp.sum((jnp.argmax(logits, -1) == labels) * weights)
             n = jnp.sum(weights)
+            if tp_shardings is not None:
+                new_params = jax.lax.with_sharding_constraint(new_params, tp_shardings[0])
+                new_opt = jax.lax.with_sharding_constraint(new_opt, tp_shardings[1])
             new_state = {
                 "params": new_params,
                 "batch_stats": new_bs,
@@ -975,7 +1010,7 @@ class Trainer:
         best_path = self._ckpt_path("best")
         if resume and os.path.exists(rolling_path):
             ckpt = self._load_ckpt(rolling_path, ckpt_template())
-            self.state = replicate(self.mesh, ckpt["state"])
+            self.state = self._place(ckpt["state"])
             self._current_lr = None  # restored leaf value unknown to the mirror
             start_epoch = int(ckpt["epoch"]) + 1
             self.scheduler.lr = float(ckpt["scheduler_lr"])
@@ -1150,7 +1185,7 @@ class Trainer:
             have_best = bool(np.asarray(flags).min())
         if test_ds is not None and have_best:
             best = self._load_ckpt(best_path, ckpt_template())
-            best_state = replicate(self.mesh, best["state"])
+            best_state = self._place(best["state"])
             final = self.evaluate(
                 test_ds, params=best_state["params"], batch_stats=best_state["batch_stats"]
             )
