@@ -141,6 +141,122 @@ class BertClassifier(nn.Module):
         return nn.Dense(self.num_classes, dtype=self.dtype, name="classifier")(pooled)
 
 
+# Pipeline-parallel partition rule (parallel/pipeline.py): the stacked
+# encoder (leading axis = num_layers) shards its layer axis over 'stage';
+# the trailing "..." replicates each leaf's remaining dims whatever its rank.
+# Embeddings, pooler, and head stay replicated (tiny next to the encoder).
+BERT_PP_RULES = (((r"(^|/)encoder/"), ("stage", "...")),)
+
+
+class PipelinedBertClassifier(nn.Module):
+    """BertClassifier with a stacked, pipeline-parallel encoder.
+
+    Same math as :class:`BertClassifier` — embeddings, ``num_layers`` post-LN
+    transformer layers, tanh pooler over [CLS], classification head — but the
+    encoder parameters live STACKED under one ``encoder`` collection (leading
+    axis = num_layers) so they can shard over a ``(data, stage)`` mesh's
+    'stage' axis and run under the GPipe ``shard_map``/``ppermute`` schedule
+    (``parallel.pipeline.gpipe_apply``). With ``num_stages=1`` the encoder is
+    a plain ``lax.scan`` over the stack — the single-device/parity path.
+
+    Checkpoints interoperate with BertClassifier via
+    ``stack_bert_layers`` / ``unstack_bert_layers``.
+    """
+
+    config: BertConfig
+    num_classes: int
+    num_stages: int = 1
+    num_microbatches: int = 0  # 0 → defaults to num_stages
+    mesh: Any = None  # required (data, stage) Mesh when num_stages > 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids, attention_mask=None, train: bool = False):
+        import jax
+
+        from multimodal_lipread_tpu.parallel.pipeline import (
+            gpipe_apply,
+            sequential_apply,
+        )
+
+        c = self.config
+        deterministic = not train
+        if attention_mask is None:
+            attention_mask = (input_ids != 0).astype(jnp.int32)
+        mask = attention_mask[:, None, None, :].astype(bool)
+        x = BertEmbeddings(c, dtype=self.dtype, name="embeddings")(
+            input_ids, deterministic=deterministic
+        )
+
+        layer_mod = BertLayer(c, dtype=self.dtype)
+        seq = input_ids.shape[1]
+
+        def init_stacked(rng):
+            def one(r):
+                return layer_mod.init(
+                    {"params": r},
+                    jnp.zeros((1, seq, c.hidden_size), self.dtype),
+                    mask=jnp.ones((1, 1, 1, seq), bool),
+                    deterministic=True,
+                )["params"]
+
+            return jax.vmap(one)(jax.random.split(rng, c.num_layers))
+
+        stacked = self.param("encoder", init_stacked)
+
+        def apply_layer(p, h, mask_mb, key):
+            rngs = {"dropout": key} if key is not None else None
+            return layer_mod.apply(
+                {"params": p}, h, mask=mask_mb, deterministic=deterministic,
+                rngs=rngs,
+            )
+
+        use_key = (not deterministic) and c.dropout_rate > 0.0
+        base_key = self.make_rng("dropout") if use_key else None
+        if self.num_stages > 1:
+            if self.mesh is None:
+                raise ValueError("num_stages > 1 requires a (data, stage) mesh")
+            x = gpipe_apply(
+                apply_layer, stacked, x, mask,
+                mesh=self.mesh,
+                num_microbatches=self.num_microbatches or self.num_stages,
+                dropout_key=base_key,
+            )
+        else:
+            x = sequential_apply(apply_layer, stacked, x, mask, base_key)
+
+        pooled = nn.Dense(c.hidden_size, dtype=self.dtype, name="pooler")(x[:, 0, :])
+        pooled = jnp.tanh(pooled)
+        pooled = nn.Dropout(c.dropout_rate)(pooled, deterministic=deterministic)
+        return nn.Dense(self.num_classes, dtype=self.dtype, name="classifier")(pooled)
+
+
+def stack_bert_layers(params: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
+    """BertClassifier params (layer0..layerN-1) → PipelinedBertClassifier
+    params (one stacked ``encoder`` tree, leading axis = num_layers)."""
+    import jax
+
+    layers = [params[f"layer{i}"] for i in range(num_layers)]
+    out = {
+        k: v for k, v in params.items() if not re.fullmatch(r"layer\d+", k)
+    }
+    out["encoder"] = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+    return out
+
+
+def unstack_bert_layers(params: Dict[str, Any], num_layers: int) -> Dict[str, Any]:
+    """Inverse of :func:`stack_bert_layers` — PP checkpoints restore as the
+    standard per-layer BertClassifier tree (mesh-elastic resume story)."""
+    import jax
+
+    out = {k: v for k, v in params.items() if k != "encoder"}
+    for i in range(num_layers):
+        out[f"layer{i}"] = jax.tree_util.tree_map(
+            lambda x, i=i: x[i], params["encoder"]
+        )
+    return out
+
+
 class HashingTokenizer:
     """Deterministic offline tokenizer: hashed word-piece-free vocabulary.
 

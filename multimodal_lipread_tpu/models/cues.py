@@ -267,18 +267,36 @@ CUE_MODEL_NAMES = tuple(CUE_MODEL_SPECS)
 
 
 def get_cue_model(
-    name: str, num_classes: int, dtype: Any = jnp.float32, bert_size: str = "tiny"
+    name: str, num_classes: int, dtype: Any = jnp.float32, bert_size: str = "tiny",
+    pipeline_stages: int = 0, mesh: Any = None, num_microbatches: int = 0,
 ) -> nn.Module:
     if name not in CUE_MODEL_SPECS:
         raise ValueError(f"Unknown cue model: {name}")
+    if pipeline_stages > 1 and name not in ("bert", "bert_lite"):
+        raise ValueError(
+            "training.pipeline_parallel > 1 is only supported for the BERT "
+            f"cue models (got model.name={name!r})"
+        )
     if name in ("bert", "bert_lite"):
         from multimodal_lipread_tpu.models.bert import (
             BertClassifier,
+            PipelinedBertClassifier,
             bert_base_config,
             bert_tiny_config,
         )
 
         bert_dtype = jnp.bfloat16 if name == "bert_lite" else dtype
+        cfg = bert_base_config() if bert_size == "base" else bert_tiny_config()
+        if pipeline_stages > 1:
+            if cfg.num_layers % pipeline_stages:
+                raise ValueError(
+                    f"{cfg.num_layers} encoder layers not divisible by "
+                    f"pipeline_parallel={pipeline_stages}"
+                )
+            return PipelinedBertClassifier(
+                cfg, num_classes, num_stages=pipeline_stages, mesh=mesh,
+                num_microbatches=num_microbatches, dtype=bert_dtype,
+            )
         if bert_size == "base":
             return BertClassifier(bert_base_config(), num_classes, dtype=bert_dtype)
         # The reference fine-tunes PRETRAINED bert-base-uncased

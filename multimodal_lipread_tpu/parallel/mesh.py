@@ -34,7 +34,11 @@ MODEL_AXIS = "model"
 
 # rule list: (path regex, partition spec as a tuple of axis names / None),
 # matched with re.search against the '/'-joined state path of each leaf.
-# First match wins; no match → fully replicated.
+# First match wins; no match → fully replicated. A trailing "..." entry
+# replicates all remaining dims, letting ONE rule cover leaves of varying
+# rank — e.g. ("stage", "...") shards every stacked-encoder leaf's leading
+# layer axis for pipeline parallelism (parallel/pipeline.py). Without the
+# marker, rank must match exactly (typos fail loudly).
 PartitionRules = Sequence[Tuple[str, Tuple[Optional[str], ...]]]
 
 
@@ -98,6 +102,15 @@ def place_state(mesh: Mesh, state: Any, rules: PartitionRules) -> Any:
         path = _path_str(key_path)
         spec = resolve_partition_spec(rules, path)
         names = tuple(spec)
+        if names and names[-1] == "...":
+            head = names[:-1]
+            if len(head) > arr.ndim:
+                raise ValueError(
+                    f"partition rule for '{path}' names {len(head)} leading dims "
+                    f"but the leaf has shape {arr.shape}"
+                )
+            names = head + (None,) * (arr.ndim - len(head))
+            spec = P(*names)
         if names:
             if len(names) != arr.ndim:
                 raise ValueError(

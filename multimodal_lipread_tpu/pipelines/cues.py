@@ -130,14 +130,24 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     class_weights = balanced_class_weights(datasets["train"].labels, num_classes)
 
     metrics_dir, ckpt_dir = default_dirs(cfg, f"cues_{mode}")
-    model = get_cue_model(model_name, num_classes, dtype=model_dtype(cfg),
-                          bert_size=cfg.get("model.bert_size", "tiny"))
-    # opt-in tensor parallelism for the BERT fine-tune — the one reference
-    # family near TP scale (bert-base 110M params). training.tensor_parallel=K
-    # shards the encoder Megatron-style over a (data, model=K) 2-D mesh.
+    # opt-in model parallelism for the BERT fine-tune — the one reference
+    # family near scale (bert-base 110M params, 12 uniform layers):
+    #   training.tensor_parallel=K   — Megatron-style weight sharding over a
+    #                                  (data, model=K) 2-D mesh
+    #   training.pipeline_parallel=S — GPipe stage sharding over a
+    #                                  (data, stage=S) 2-D mesh
+    #                                  (+ training.pipeline_microbatches)
+    # Mutually exclusive (one 2-D mesh each; a 3-D composition is not a
+    # reference-scale need — docs/PARALLELISM.md).
     mesh = None
     partition_rules = ()
     tp = int(cfg.get("training.tensor_parallel", 1))
+    pp = int(cfg.get("training.pipeline_parallel", 1))
+    if tp > 1 and pp > 1:
+        raise ValueError(
+            "training.tensor_parallel and training.pipeline_parallel are "
+            "mutually exclusive — pick one 2-D mesh"
+        )
     if tp > 1:
         if model_name not in ("bert", "bert_lite"):
             raise ValueError(
@@ -149,6 +159,18 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
 
         mesh = get_mesh_2d(tp)
         partition_rules = BERT_TP_RULES
+    elif pp > 1:
+        from multimodal_lipread_tpu.models.bert import BERT_PP_RULES
+        from multimodal_lipread_tpu.parallel.pipeline import get_mesh_pp
+
+        mesh = get_mesh_pp(pp)
+        partition_rules = BERT_PP_RULES
+    model = get_cue_model(
+        model_name, num_classes, dtype=model_dtype(cfg),
+        bert_size=cfg.get("model.bert_size", "tiny"),
+        pipeline_stages=pp, mesh=mesh if pp > 1 else None,
+        num_microbatches=int(cfg.get("training.pipeline_microbatches", 0)),
+    )
     trainer = Trainer(
         model,
         TrainerConfig(
