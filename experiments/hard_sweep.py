@@ -51,6 +51,44 @@ def build_corpus(root: str, clips: int, hardness, label_noise: float, seed: int,
     return root
 
 
+def provenance(args, hardness) -> dict:
+    """Per-row provenance stamp (VERDICT r4 weak #2: rows measured under
+    superseded code were indistinguishable from fresh ones — staleness was
+    invisible by construction). Captures everything that round 4 proved can
+    shift a row: the code (commit), the training RNG stream (rng_impl), and
+    the corpus recipe (params + generator hash)."""
+    import hashlib
+    import subprocess
+    from datetime import date
+
+    try:
+        commit = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip() or "unknown"
+        dirty = bool(subprocess.run(
+            ["git", "status", "--porcelain", "--untracked-files=no"], cwd=REPO,
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip())
+    except Exception:
+        commit, dirty = "unknown", False
+    from multimodal_lipread_tpu.train.trainer import TrainerConfig
+
+    gen = os.path.join(REPO, "multimodal_lipread_tpu", "data", "synthetic.py")
+    with open(gen, "rb") as f:
+        gen_sha = hashlib.sha256(f.read()).hexdigest()[:12]
+    return {
+        "commit": commit + ("-dirty" if dirty else ""),
+        "rng_impl": TrainerConfig(model_name="_", num_classes=1).dropout_rng_impl,
+        "corpus": {
+            "seed": args.seed, "clips": args.clips, "hardness": hardness,
+            "label_noise": args.label_noise, "cue_style": args.cue_style,
+            "generator_sha": gen_sha,
+        },
+        "date": date.today().isoformat(),
+    }
+
+
 def run_pipeline(name: str, cfg_dict: dict, out_dir: str):
     """Run one pipeline main() and return (final_test_acc, history)."""
     import importlib
@@ -332,6 +370,8 @@ def main():
         os.replace(path + ".tmp", path)
         return summary
 
+    prov = provenance(args, hardness)
+    print("provenance:", json.dumps(prov), flush=True)
     results = []
     for pipeline, model, cfg in runs:
         out_dir = os.path.join(args.out, f"{pipeline}_{model}")
@@ -355,6 +395,7 @@ def main():
         try:
             row = run_pipeline(pipeline, cfg, out_dir)
             row["cue_style"] = args.cue_style  # corpus provenance per row
+            row["provenance"] = prov
             results.append(row)
         except Exception as e:  # keep sweeping; report at the end
             print(f"[{pipeline}:{model}] FAILED: {e}", flush=True)

@@ -150,6 +150,17 @@ def spearman(xs, ys):
     return num / (dx * dy) if dx and dy else float("nan")
 
 
+def _prov_key(row) -> str:
+    """Provenance identity of a row: the code commit + RNG stream + corpus
+    recipe that produced it. Rows with no stamp are pre-round-5 ('unstamped')."""
+    p = row.get("provenance")
+    if not p:
+        return "unstamped"
+    return f"{p.get('commit')}/{p.get('rng_impl')}/" + json.dumps(
+        p.get("corpus", {}), sort_keys=True
+    )
+
+
 def build_report(summary_path: str) -> str:
     with open(summary_path) as f:
         summary = json.load(f)
@@ -158,6 +169,16 @@ def build_report(summary_path: str) -> str:
         if "error" in r:
             continue
         ours[(r["pipeline"], r["model"])] = r
+
+    # Staleness guard (round-4 verdict: rows measured under superseded code
+    # were indistinguishable from fresh ones). The CURRENT provenance is the
+    # most common stamp; any row that differs is marked ⚠ stale in its table
+    # and the mix is called out loudly.
+    from collections import Counter
+
+    prov_counts = Counter(_prov_key(r) for r in ours.values())
+    current_prov = prov_counts.most_common(1)[0][0] if prov_counts else None
+    mixed = len(prov_counts) > 1
 
     lines = [
         "# Zoo sweep — full-registry accuracy record (hard synthetic corpus)",
@@ -212,8 +233,21 @@ def build_report(summary_path: str) -> str:
                         else f"{r['seconds']:.0f} s")
             else:
                 oa = orank = lr = wall = "—"
-            lines.append(f"| {model} | {ra} | {rr} | {oa} | {orank} | {lr} | {wall} |")
+            stale = r is not None and mixed and _prov_key(r) != current_prov
+            marker = " ⚠" if stale else ""
+            lines.append(
+                f"| {model}{marker} | {ra} | {rr} | {oa} | {orank} | {lr} | {wall} |"
+            )
+        fam_provs = {_prov_key(r) for _, _, r in rows if r}
         lines.append("")
+        if fam_provs and fam_provs != {current_prov}:
+            lines.append(
+                "⚠ STALE: rows above were not all measured under the current "
+                "provenance (commit/rng/corpus) — re-sweep this family "
+                "(`hard_sweep.py --zoo --only " + fam + "`) before citing its "
+                "ρ."
+            )
+            lines.append("")
         styles = {(r or {}).get("cue_style", "slice") for _, _, r in rows if r}
         if fam in ("cues", "audio_cues", "cues_video", "audio_cues_video") \
                 and "compositional" in styles:
@@ -251,6 +285,32 @@ def build_report(summary_path: str) -> str:
             " which is why the cues family now trains on the compositional"
             " corpus.)")
         lines.append("")
+    lines.append("## Provenance")
+    lines.append("")
+    if mixed:
+        lines.append(
+            "⚠ **MIXED PROVENANCE** — rows marked ⚠ were measured under a "
+            "different commit / RNG stream / corpus recipe than the current "
+            "majority and may not reproduce under HEAD (round 4 proved "
+            "exactly this failure mode for the round-3 audio rows). "
+        )
+        lines.append("")
+    stamps = {}
+    for r in ours.values():
+        stamps.setdefault(_prov_key(r), []).append(r)
+    lines.append("| stamp | rows | commit | rng | corpus seed/clips/style | date |")
+    lines.append("|---|---|---|---|---|---|")
+    for key, rs in sorted(stamps.items(), key=lambda kv: -len(kv[1])):
+        p = rs[0].get("provenance") or {}
+        c = p.get("corpus", {})
+        mark = "current" if key == current_prov and mixed else ""
+        lines.append(
+            f"| {mark or '—'} | {len(rs)} | {p.get('commit', 'unstamped')} | "
+            f"{p.get('rng_impl', '—')} | "
+            f"{c.get('seed', '—')}/{c.get('clips', '—')}/{c.get('cue_style', '—')} | "
+            f"{p.get('date', '—')} |"
+        )
+    lines.append("")
     done = len(ours)
     total = sum(len(v) for v in REFERENCE.values())
     lines.append(f"_Coverage: {done}/{total} registry models swept._")

@@ -191,6 +191,15 @@ class PipelinedBertClassifier(nn.Module):
         layer_mod = BertLayer(c, dtype=self.dtype)
         seq = input_ids.shape[1]
 
+        from multimodal_lipread_tpu.parallel import pipeline as _pp
+
+        # inside the PP train step's shard_map the provided params are the
+        # LOCAL layer slice — declare the local leading axis so flax's
+        # shape check matches (the initializer itself never runs there)
+        lead = (
+            c.num_layers // self.num_stages if _pp.in_mesh() else c.num_layers
+        )
+
         def init_stacked(rng):
             def one(r):
                 return layer_mod.init(
@@ -200,7 +209,7 @@ class PipelinedBertClassifier(nn.Module):
                     deterministic=True,
                 )["params"]
 
-            return jax.vmap(one)(jax.random.split(rng, c.num_layers))
+            return jax.vmap(one)(jax.random.split(rng, lead))
 
         stacked = self.param("encoder", init_stacked)
 

@@ -617,6 +617,38 @@ class Trainer:
             inputs, labels = gather(data, labels_all, idx)
             return eval_step(params, batch_stats, inputs, labels, weights)
 
+        # Pipeline-parallel mesh: the generic jit step would let GSPMD's
+        # data-axis grad all-reduces race the stage-axis ppermutes (XLA:CPU
+        # in-process rendezvous deadlock — round-4 lane crash). Swap in the
+        # single-shard_map step with totally ordered collectives; eval is
+        # forward-only (its data-axis reductions depend on the pipeline
+        # output, so they are already ordered) and stays on the jit path.
+        if (
+            "stage" in getattr(self.mesh, "axis_names", ())
+            and dict(zip(self.mesh.axis_names, self.mesh.devices.shape))["stage"] > 1
+        ):
+            from multimodal_lipread_tpu.parallel.pipeline import build_pp_train_step
+
+            if mixup_alpha > 0:
+                raise NotImplementedError("mixup is not supported with pipeline parallelism")
+            if use_remat:
+                raise NotImplementedError("remat is not supported with pipeline parallelism")
+            if jax.tree_util.tree_leaves(self.state["batch_stats"]):
+                raise NotImplementedError(
+                    "BatchNorm models are not supported with pipeline parallelism"
+                )
+            pp_step = build_pp_train_step(
+                model, tx, self.mesh, self.state,
+                extra_kwargs=extra, class_weights=class_weights,
+                half_precision=half,
+            )
+
+            def pp_step_idx(state, data, labels_all, idx, weights, rng):
+                inputs, labels = gather(data, labels_all, idx)
+                return pp_step(state, inputs, labels, weights, rng)
+
+            train_step, train_step_idx = pp_step, pp_step_idx
+
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
         self._train_step_idx = jax.jit(train_step_idx, donate_argnums=(0,))
