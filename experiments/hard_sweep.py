@@ -66,10 +66,13 @@ def provenance(args, hardness) -> dict:
             ["git", "rev-parse", "--short", "HEAD"], cwd=REPO,
             capture_output=True, text=True, timeout=10,
         ).stdout.strip() or "unknown"
-        dirty = bool(subprocess.run(
+        status = subprocess.run(
             ["git", "status", "--porcelain", "--untracked-files=no"], cwd=REPO,
             capture_output=True, text=True, timeout=10,
-        ).stdout.strip())
+        ).stdout.splitlines()
+        # PROGRESS.jsonl is appended by the round driver while sweeps run —
+        # it never affects training math, so it doesn't make a row dirty
+        dirty = any(not l.endswith("PROGRESS.jsonl") for l in status if l.strip())
     except Exception:
         commit, dirty = "unknown", False
     from multimodal_lipread_tpu.train.trainer import TrainerConfig
@@ -148,12 +151,18 @@ def zoo_runs(dataset: dict, base_train: dict, E) -> list:
               "middle_fusion_resnet", "late_fusion_mobile"]
     AC = ["early_fusion_mobile", "middle_fusion_mobile", "late_fusion_mobile"]
 
+    # device_resident is pure throughput: on-device index gather reproduces
+    # the host batching path's trajectories exactly (tests/test_trainer.py::
+    # test_device_resident_matches_host_batching) while dropping the
+    # per-step H2D of video batches — the round-3 video walls (2000+ s per
+    # row at <1% step time) were host-loader-bound, not compute-bound.
+    DR = {"device_resident": True}
     runs = []
     for n in CUES:
         runs.append(("cues", n, {
             "dataset": dataset, "model": {"name": n},
-            "training": {**base_train, "batch_size": 64, "learning_rate": 1e-3,
-                         "epochs": E(15)},
+            "training": {**base_train, **DR, "batch_size": 64,
+                         "learning_rate": 1e-3, "epochs": E(15)},
         }))
     for n in AUDIO:
         model = {"name": n, "dtype": "bfloat16"}
@@ -161,36 +170,39 @@ def zoo_runs(dataset: dict, base_train: dict, E) -> list:
             model["version"] = 16
         runs.append(("audio", n, {
             "dataset": dataset, "model": model,
-            "training": {**base_train, "learning_rate": 5e-4,
+            "training": {**base_train, **DR, "learning_rate": 5e-4,
                          "weight_decay": 1e-4, "epochs": E(15)},
         }))
     for n in VIDEO:
         runs.append(("video", n, {
             "dataset": dataset, "model": {"name": n, "dtype": "bfloat16"},
-            "training": {**base_train,
+            "training": {**base_train, **DR,
                          "learning_rate": 1e-4 if n == "conformer" else 5e-5,
                          "weight_decay": 1e-5, "epochs": E(12)},
         }))
     for n in CV:
         runs.append(("cues_video", n, {
             "dataset": dataset, "model": {"name": n, "dtype": "bfloat16"},
-            "training": {"batch_size": 128, "learning_rate": 1e-4,
+            "training": {**DR, "batch_size": 128, "learning_rate": 1e-4,
                          "weight_decay": 1e-4, "epochs": E(12), "seed": 0},
         }))
     for n in AV:
         runs.append(("audio_video", n, {
             "dataset": dataset, "model": {"name": n, "dtype": "bfloat16"},
-            "training": {**base_train, "learning_rate": 1e-4, "epochs": E(12)},
+            "training": {**base_train, **DR, "learning_rate": 1e-4,
+                         "epochs": E(12)},
         }))
     for n in TRIPLE:
         runs.append(("audio_cues_video", n, {
             "dataset": dataset, "model": {"name": n, "dtype": "bfloat16"},
             "train": {"batch": 128, "lr": 1e-4, "epochs": E(12), "seed": 0},
+            "training": DR,  # trainer_extras reads training.* in every pipeline
         }))
     for n in AC:
         runs.append(("audio_cues", n, {
             "dataset": dataset, "model": {"name": n, "dtype": "bfloat16"},
             "train": {"batch": 128, "lr": 1e-3, "epochs": E(12), "seed": 0},
+            "training": DR,
         }))
     return runs
 
