@@ -72,6 +72,51 @@ class LipClipSource:
         }
 
 
+@dataclasses.dataclass
+class FullFrameClipSource:
+    """RandomAccessDataSource: raw GLips .mp4 entries → (frames, boxes, label).
+
+    The host half of the device-crop layout (BASELINE north star: "host
+    video-decode stage feeding device-side crop/resize/normalize kernels"):
+    per clip, decode 29 evenly-spaced FULL frames and run lip detection
+    only — the crop/resize/pad/normalize happen on device
+    (ops/crop_resize.crop_resize_pad via the Trainer's ``device_preproc``
+    hook). Replaces both the offline .npy mirror tree AND the reference's
+    per-frame host cv2 crop (visual_preprocessing.py:111-162).
+
+    Frames in one batch must share (H, W) — true for GLips (uniform
+    256×256 clips); pass ``frame_shape`` to pin/verify it.
+    """
+
+    entries: Sequence[ClipEntry]
+    class_to_idx: Dict[str, int]
+    backend: str = "auto"
+    frame_shape: Optional[tuple] = None  # (H, W) to enforce across clips
+
+    def __post_init__(self):
+        from multimodal_lipread_tpu.data.lip_extraction import LipRegionExtractor
+
+        self._extractor = LipRegionExtractor(backend=self.backend)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, idx: int):
+        e = self.entries[int(idx)]
+        frames, boxes = self._extractor.extract_full_frame_sequence(e.path)
+        if self.frame_shape is not None and frames.shape[1:3] != tuple(self.frame_shape):
+            raise ValueError(
+                f"{e.path}: frame size {frames.shape[1:3]} != required "
+                f"{tuple(self.frame_shape)} — device-crop batches need a "
+                "uniform frame size"
+            )
+        return {
+            "frames": frames,  # uint8 (29, H, W, 3)
+            "boxes": boxes,    # int32 (29, 4), margin-expanded
+            "label": np.int32(self.class_to_idx[e.word]),
+        }
+
+
 class StreamingDataset:
     """Per-epoch streaming view of a random-access source, for Trainer.fit.
 

@@ -203,6 +203,50 @@ class LipRegionExtractor:
         cap.release()
         return np.asarray(seq, dtype=np.uint8)
 
+    def extract_full_frame_sequence(
+        self, video_path: str, num_frames: int = NUM_FRAMES
+    ) -> Tuple[np.ndarray, np.ndarray]:
+        """Decode + detect only — the device-crop streaming stage's host half.
+
+        Returns (frames uint8 (num_frames, H, W, 3), boxes int32
+        (num_frames, 4)): the same 29-evenly-spaced frame selection and the
+        same margin-expanded lip boxes as :meth:`extract_lip_sequence`, but
+        WITHOUT cropping — crop/resize/pad run on device
+        (ops/crop_resize.py). Unreadable frames / failed detections carry a
+        degenerate (0, 0, 0, 0) box, which the device kernel turns into the
+        reference's blank frame.
+        """
+        import cv2
+
+        cap = cv2.VideoCapture(video_path)
+        total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) or 1
+        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) or 1
+        if total <= 0:
+            cap.release()
+            return (
+                np.zeros((num_frames, h, w, 3), np.uint8),
+                np.zeros((num_frames, 4), np.int32),
+            )
+        if total <= num_frames:
+            idxs = np.concatenate([np.arange(total), np.full(num_frames - total, total - 1)])
+        else:
+            idxs = np.linspace(0, total - 1, num_frames).astype(int)
+        frames = np.zeros((num_frames, h, w, 3), np.uint8)
+        boxes = np.zeros((num_frames, 4), np.int32)
+        for k, idx in enumerate(idxs):
+            cap.set(cv2.CAP_PROP_POS_FRAMES, int(idx))
+            ok, frame_bgr = cap.read()
+            if not ok:
+                continue
+            frame_rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+            frames[k] = frame_rgb
+            box = self.backend.lip_box(frame_rgb)
+            if box is not None:
+                boxes[k] = box  # already margin-expanded + frame-clipped
+        cap.release()
+        return frames, boxes
+
 
 def process_dataset(
     root_dir: str,

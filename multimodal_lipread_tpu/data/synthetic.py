@@ -326,6 +326,34 @@ def _synth_description(
     return tmpl.format(adj=adj, feat=feat)
 
 
+def _write_synth_video(path: str, lips: np.ndarray, frame_size=(96, 96)) -> None:
+    """Render a lip sequence into a real .mp4 whose CENTER-backend crop
+    region carries the class signal — the raw-video counterpart of the .npy
+    lip store, for the device-crop streaming path (host decode + device
+    crop; ops/crop_resize.py). The 44×44 signal is upscaled into the
+    margin-expanded center box, so cropping it back reproduces the signal.
+    """
+    import cv2
+
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    H, W = frame_size
+    # the center backend's margin-expanded box (data/lip_extraction.py
+    # _CenterBackend.lip_box + _expand_box, margin 0.4)
+    x0, y0, x1, y1 = W // 3, H // 2, 2 * W // 3, 5 * H // 6
+    mh, mw = int((y1 - y0) * 0.4), int((x1 - x0) * 0.4)
+    bx0, by0 = max(0, x0 - mw), max(0, y0 - mh)
+    bx1, by1 = min(W, x1 + mw), min(H, y1 + mh)
+    writer = cv2.VideoWriter(
+        path, cv2.VideoWriter_fourcc(*"mp4v"), 25.0, (W, H)
+    )
+    for frame_rgb_44 in lips:
+        frame = np.full((H, W, 3), 128, np.uint8)
+        patch = cv2.resize(frame_rgb_44, (bx1 - bx0, by1 - by0))
+        frame[by0:by1, bx0:bx1] = patch
+        writer.write(frame[..., ::-1])  # RGB → BGR for the encoder
+    writer.release()
+
+
 def make_synthetic_glips(
     root: str,
     words: Sequence[str] = DEFAULT_WORDS,
@@ -335,6 +363,7 @@ def make_synthetic_glips(
     with_audio: bool = True,
     with_lip_regions: bool = True,
     with_cues: bool = True,
+    with_video: bool = False,
     hardness: "float | dict" = 0.0,
     label_noise: float = 0.0,
     cue_style: str = "slice",
@@ -405,10 +434,20 @@ def make_synthetic_glips(
                 if with_audio:
                     wav_path = os.path.join(root, "lipread_files", word, split, stem + ".wav")
                     write_wav(wav_path, _synth_waveform(rng, sig_ci, len(words), h_audio))
+                if with_lip_regions or with_video:
+                    # ONE rng draw feeds both stores, so .npy and .mp4 carry
+                    # the same clip signal (and with_video=False keeps the
+                    # historical rng stream bit-identical)
+                    lips = _synth_lip_sequence(rng, sig_ci, len(words), h_video)
                 if with_lip_regions:
                     npy_path = os.path.join(lip_root, "lipread_files", word, split, stem + ".npy")
                     os.makedirs(os.path.dirname(npy_path), exist_ok=True)
-                    np.save(npy_path, _synth_lip_sequence(rng, sig_ci, len(words), h_video))
+                    np.save(npy_path, lips)
+                if with_video:
+                    _write_synth_video(
+                        os.path.join(root, "lipread_files", word, split, stem + ".mp4"),
+                        lips,
+                    )
                 if with_cues:
                     desc_fn = (_synth_description_compositional
                                if cue_style == "compositional" else _synth_description)

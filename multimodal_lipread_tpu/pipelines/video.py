@@ -56,7 +56,41 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
 
     lip_root = resolve_lip_root(cfg)
     streaming = bool(cfg.get("dataset.streaming", False))
-    if streaming:
+    device_crop = bool(cfg.get("dataset.device_crop", False))
+    # passed via kwargs only when enabled, so default runs don't depend on
+    # the TrainerConfig field existing (keeps long-running sweeps that
+    # hot-import this module against an older in-memory trainer working)
+    dc_kwargs = {}
+    if device_crop:
+        # north-star layout: host decodes FULL frames + detects lip boxes,
+        # and the crop/resize/pad/normalize run ON DEVICE inside the train
+        # step (ops/crop_resize.py) — no offline .npy mirror tree needed,
+        # replacing the reference's per-frame host cv2 crop
+        # (visual_preprocessing.py:111-162)
+        from multimodal_lipread_tpu.data.glips import SPLITS, scan_glips
+        from multimodal_lipread_tpu.data.grain_loader import (
+            FullFrameClipSource,
+            StreamingDataset,
+        )
+        from multimodal_lipread_tpu.ops.crop_resize import crop_resize_pad
+
+        index = scan_glips(cfg.get("dataset.root_dir"), exts=(".mp4", ".avi"))
+        datasets = {
+            split: StreamingDataset(
+                FullFrameClipSource(
+                    index.by_split(split), index.class_to_idx,
+                    backend=cfg.get("dataset.landmark_backend", "auto"),
+                ),
+                input_keys=("frames", "boxes"),
+                seed=cfg.get("training.seed", 0),
+                worker_count=cfg.get("dataset.num_workers", 0),
+            )
+            for split in SPLITS
+        }
+
+        dc_kwargs["device_preproc"] = lambda frames, boxes: (crop_resize_pad(frames, boxes),)
+
+    elif streaming:
         # full-GLips-scale path: ~100 GB of lip tensors can't materialize in
         # host RAM — grain workers stream uint8 .npy records (per-host
         # sharded), the Trainer normalizes to [0,1] on device
@@ -127,6 +161,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
             test_every_epoch=True,
             rolling_checkpoint=True,  # reference: video/train.py:252-262
             log_txt_header=True,  # reference pre-creates the "Training Log" TXT banner
+            **dc_kwargs,
             # incl. mixup_alpha: the reference's augmentation YAML block is
             # dead config (visual_config.yaml:33-46); here it works, default off
             **trainer_extras(cfg),

@@ -158,6 +158,15 @@ class TrainerConfig:
     # bit-identical masks across backends/XLA versions; both choices give
     # reproducible trajectories for a fixed seed on a fixed stack.
     dropout_rng_impl: str = "rbg"
+    # DEVICE-SIDE input preprocessing (opt-in): a jit-traceable callable
+    # ``(*inputs) -> tuple(inputs)`` applied inside the compiled train/eval
+    # steps BEFORE the uint8 cast/normalize. This is the hook for the
+    # north-star "host video-decode stage feeding device-side
+    # crop/resize/normalize kernels" layout: the host ships full decoded
+    # uint8 frames + int32 lip boxes, and ops/crop_resize.crop_resize_pad
+    # runs fused with the model's forward (the reference crops per frame in
+    # host cv2: /root/reference/video/data_utils/visual_preprocessing.py:111-162).
+    device_preproc: Optional[Callable[..., tuple]] = None
     # catch SIGTERM/SIGINT during fit(): finish the in-flight batch, write
     # the rolling checkpoint (attributed to the last COMPLETED epoch, so a
     # --resume replays the interrupted epoch), and return with
@@ -414,12 +423,16 @@ class Trainer:
         """Initialize parameters/optimizer; replicate over the mesh."""
         rng = jax.random.PRNGKey(self.config.seed)
 
-        def init_cast(a):
-            x = jnp.asarray(a[: self.n_devices])
+        def init_cast(x):
             # mirror the train-step cast: uint8 inputs are device-normalized
             return x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
 
-        dummy = tuple(init_cast(a) for a in example_inputs)
+        dummy = tuple(jnp.asarray(a[: self.n_devices]) for a in example_inputs)
+        if self.config.device_preproc is not None:
+            # the model only ever sees preprocessed inputs (e.g. full frames
+            # + boxes → cropped lips), at init exactly like in the steps
+            dummy = tuple(self.config.device_preproc(*dummy))
+        dummy = tuple(init_cast(x) for x in dummy)
         variables = self.model.init(
             {"params": rng, "dropout": rng}, *dummy, train=False, **self._apply_train_kwargs
         )
@@ -492,6 +505,16 @@ class Trainer:
             elif half and jnp.issubdtype(x.dtype, jnp.floating):
                 x = x.astype(jnp.bfloat16)
             return x
+
+        device_preproc = self.config.device_preproc
+
+        def prepare(inputs):
+            # device-side preproc (e.g. lip crop/resize/pad from full
+            # frames+boxes) runs INSIDE the compiled step, fused with the
+            # normalize cast and the model's forward
+            if device_preproc is not None:
+                inputs = tuple(device_preproc(*inputs))
+            return tuple(cast(x) for x in inputs)
         extra = self._apply_train_kwargs
 
         def per_example_weight(labels, weights):
@@ -536,7 +559,7 @@ class Trainer:
             )
 
         def train_step(state, inputs, labels, weights, rng):
-            inputs = tuple(cast(x) for x in inputs)
+            inputs = prepare(inputs)
             step_rng = jax.random.fold_in(rng, state["step"])
             w = per_example_weight(labels, weights)
             denom = jnp.maximum(jnp.sum(w), 1e-9)
@@ -585,7 +608,7 @@ class Trainer:
             return new_state, loss * jnp.sum(w), correct, n, jnp.sum(w)
 
         def eval_step(params, batch_stats, inputs, labels, weights):
-            inputs = tuple(cast(x) for x in inputs)
+            inputs = prepare(inputs)
             logits, _ = forward(params, batch_stats, inputs, False, None)
             logits = logits.astype(jnp.float32)
             ce = optax.softmax_cross_entropy_with_integer_labels(logits, labels)
@@ -633,6 +656,10 @@ class Trainer:
                 raise NotImplementedError("mixup is not supported with pipeline parallelism")
             if use_remat:
                 raise NotImplementedError("remat is not supported with pipeline parallelism")
+            if device_preproc is not None:
+                raise NotImplementedError(
+                    "device_preproc is not supported with pipeline parallelism"
+                )
             if jax.tree_util.tree_leaves(self.state["batch_stats"]):
                 raise NotImplementedError(
                     "BatchNorm models are not supported with pipeline parallelism"

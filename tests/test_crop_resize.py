@@ -120,3 +120,106 @@ def test_fused_normalize():
     f32 = np.asarray(crop_resize_pad_normalize(frames, boxes))
     assert f32.dtype == np.float32
     np.testing.assert_allclose(f32, u8.astype(np.float32) / 255.0, atol=1e-7)
+
+
+# --------------------------------------------------------------------------
+# End-to-end: host decode+detect half → device crop vs the all-host cv2 path
+
+
+def _write_video(path, n_frames=12, size=(96, 96)):
+    import cv2
+
+    fourcc = cv2.VideoWriter_fourcc(*"mp4v")
+    w = cv2.VideoWriter(str(path), fourcc, 25.0, size)
+    r = np.random.default_rng(7)
+    for i in range(n_frames):
+        frame = r.integers(0, 256, (size[1], size[0], 3), np.uint8)
+        w.write(frame)
+    w.release()
+    return str(path)
+
+
+def test_full_frame_sequence_plus_device_crop_matches_host_extraction(tmp_path):
+    """The split layout (host decode+detect, device crop/resize/pad) must
+    reproduce extract_lip_sequence's all-host output: same 29-frame
+    selection, same boxes, crops within the kernel's 1-LSB envelope."""
+    from multimodal_lipread_tpu.data.lip_extraction import LipRegionExtractor
+
+    video = _write_video(tmp_path / "clip_0001-0001.mp4")
+    ex = LipRegionExtractor(backend="center")  # deterministic boxes
+    host = ex.extract_lip_sequence(video)
+    frames, boxes = ex.extract_full_frame_sequence(video)
+    assert frames.shape == (29, 96, 96, 3) and boxes.shape == (29, 4)
+    dev = np.asarray(crop_resize_pad(frames, boxes))
+    assert np.abs(dev.astype(int) - host.astype(int)).max() <= 1
+
+
+def test_full_frame_sequence_blank_on_detect_failure(tmp_path):
+    """Degenerate (0,0,0,0) boxes from failed detections must become the
+    reference's blank frames on device — like the host path does."""
+
+    class _NeverDetect:
+        def lip_box(self, frame_rgb):
+            return None
+
+    from multimodal_lipread_tpu.data.lip_extraction import LipRegionExtractor
+
+    video = _write_video(tmp_path / "clip_0001-0002.mp4", n_frames=5)
+    ex = LipRegionExtractor(backend="center")
+    ex.backend = _NeverDetect()
+    host = ex.extract_lip_sequence(video)
+    frames, boxes = ex.extract_full_frame_sequence(video)
+    assert (boxes == 0).all()
+    dev = np.asarray(crop_resize_pad(frames, boxes))
+    np.testing.assert_array_equal(dev, host)  # both all-blank
+    assert (dev == 0).all()
+
+
+def test_trainer_device_preproc_hook(tmp_path):
+    """Trainer with device_preproc on (frames, boxes) inputs must produce
+    the SAME trajectory as the plain trainer fed the device-cropped lips."""
+    from flax import linen as nn
+
+    from multimodal_lipread_tpu.train.trainer import ArrayDataset, Trainer, TrainerConfig
+    from multimodal_lipread_tpu.ops.crop_resize import crop_resize_pad as _crp
+
+    class Tiny(nn.Module):
+        num_classes: int = 3
+
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = x.reshape(x.shape[0], -1)
+            x = nn.Dense(16)(x)
+            x = nn.relu(x)
+            return nn.Dense(self.num_classes)(x)
+
+    r = np.random.default_rng(11)
+    n, T = 24, 4
+    frames = r.integers(0, 256, (n, T, 72, 96, 3), np.uint8)
+    boxes = np.tile(np.array([10, 5, 54, 49], np.int32), (n, T, 1))
+    labels = r.integers(0, 3, size=n).astype(np.int32)
+    # class-separable signal inside the crop region so training moves
+    for i, l in enumerate(labels):
+        frames[i, :, 5 + l * 10 : 15 + l * 10, 10:54] = 255
+
+    lips = np.asarray(_crp(frames, boxes))  # what the model should see
+
+    def cfg(**kw):
+        return TrainerConfig(
+            model_name="tiny", num_classes=3, batch_size=8, epochs=2,
+            learning_rate=1e-3, metrics_dir=str(tmp_path / "m"),
+            checkpoints_dir=str(tmp_path / "c"), test_every_epoch=False,
+            **kw,
+        )
+
+    ds_raw = ArrayDataset(inputs=(frames, boxes), labels=labels)
+    ds_lips = ArrayDataset(inputs=(lips,), labels=labels)
+
+    t1 = Trainer(Tiny(), cfg(device_preproc=lambda f, b: (_crp(f, b),)))
+    r1 = t1.fit(ds_raw, ds_raw, ds_raw)
+    t2 = Trainer(Tiny(), cfg())
+    r2 = t2.fit(ds_lips, ds_lips, ds_lips)
+
+    h1 = [(e["train_loss"], e["val_acc"]) for e in r1["history"]]
+    h2 = [(e["train_loss"], e["val_acc"]) for e in r2["history"]]
+    np.testing.assert_allclose(h1, h2, rtol=1e-6)

@@ -54,3 +54,30 @@ def test_video_pipeline_end_to_end(glips_root, tmp_path):
     # reference pre-creates the TXT log with a banner (video/train.py:50-52)
     txt_log = (tmp_path / "video" / "metrics" / "cnn_training_log.txt").read_text()
     assert txt_log.startswith("Training Log\n\n")
+
+
+@pytest.mark.slow
+def test_video_pipeline_device_crop_end_to_end(tmp_path):
+    """North-star layout e2e: raw .mp4 GLips tree → host decode+detect →
+    device crop/resize/pad/normalize inside the train step — no offline
+    .npy mirror tree at all."""
+    from multimodal_lipread_tpu.data.synthetic import DEFAULT_WORDS, make_synthetic_glips
+
+    root = str(tmp_path / "GLips_4")
+    make_synthetic_glips(root, words=DEFAULT_WORDS, clips_per_split=4, seed=0,
+                         with_audio=False, with_lip_regions=False,
+                         with_cues=False, with_video=True)
+    cfg = Config.from_dict(
+        {
+            "dataset": {"root_dir": root, "num_classes": 4,
+                        "device_crop": True, "landmark_backend": "center"},
+            "model": {"name": "cnn"},
+            "training": {"batch_size": 16, "epochs": 2, "learning_rate": 1e-3,
+                         "weight_decay": 1e-5, "seed": 0},
+            "output": {"base_dir": str(tmp_path / "video_dc"), "plots": False},
+        }
+    )
+    result = video_main(cfg)
+    assert "final_test_acc" in result
+    # the class signal lives inside the crop box: the model must learn it
+    assert result["history"][-1]["train_acc"] > 40.0
