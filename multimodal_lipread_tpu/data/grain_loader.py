@@ -117,6 +117,38 @@ class FullFrameClipSource:
         }
 
 
+@dataclasses.dataclass
+class HostCropClipSource:
+    """RandomAccessDataSource: raw .mp4 entries → (lips, label), ALL on host.
+
+    The reference's online layout for comparison against
+    :class:`FullFrameClipSource` + device crop: decode, detect, AND
+    crop/resize/pad per frame in host cv2
+    (visual_preprocessing.py:111-162), shipping only the 44×44 crops.
+    Used by experiments/device_crop_bench.py and the video pipeline's
+    ``dataset.host_crop_streaming`` knob.
+    """
+
+    entries: Sequence[ClipEntry]
+    class_to_idx: Dict[str, int]
+    backend: str = "auto"
+
+    def __post_init__(self):
+        from multimodal_lipread_tpu.data.lip_extraction import LipRegionExtractor
+
+        self._extractor = LipRegionExtractor(backend=self.backend)
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, idx: int):
+        e = self.entries[int(idx)]
+        return {
+            "lip_regions": self._extractor.extract_lip_sequence(e.path),
+            "label": np.int32(self.class_to_idx[e.word]),
+        }
+
+
 class StreamingDataset:
     """Per-epoch streaming view of a random-access source, for Trainer.fit.
 

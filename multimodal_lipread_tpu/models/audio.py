@@ -11,7 +11,7 @@ Input contract: (B, 80, input_size) normalized log-mel; internally NHWC
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -236,6 +236,7 @@ def get_audio_model(
     version: int = 16,
     use_batchnorm: bool = True,
     dtype: Any = jnp.float32,
+    d_model: Optional[int] = None,
 ) -> nn.Module:
     """Name → model registry (reference: audio/train.py:118-134).
 
@@ -260,6 +261,11 @@ def get_audio_model(
     if name == "lstm_resnet_trans":
         return LSTMResNetWithTransformer(num_classes, input_size, use_batchnorm=use_batchnorm, dtype=dtype)
     if name == "conformer":  # TPU-native extension beyond the reference zoo
+        if d_model is not None:
+            # model.d_model: the measured width/throughput dial
+            # (docs/PERFORMANCE.md "Shape-bound, monotonically": 128 was
+            # +18% clips/s over the 144 default in the d_model sweep)
+            return AudioConformer(num_classes, d_model=d_model, dtype=dtype)
         return AudioConformer(num_classes, dtype=dtype)
     raise ValueError(f"Unknown audio model: {name}")
 

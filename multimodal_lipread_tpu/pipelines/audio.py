@@ -119,6 +119,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
         model_name, num_classes, input_size=input_size, version=version,
         use_batchnorm=cfg.get("model.use_batchnorm", True),
         dtype=model_dtype(cfg),
+        d_model=cfg.get("model.d_model"),  # conformer width dial
     )
     if streaming:
         from multimodal_lipread_tpu.models.frontend import WaveToLogMel

@@ -57,6 +57,7 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
     lip_root = resolve_lip_root(cfg)
     streaming = bool(cfg.get("dataset.streaming", False))
     device_crop = bool(cfg.get("dataset.device_crop", False))
+    host_crop_streaming = bool(cfg.get("dataset.host_crop_streaming", False))
     # passed via kwargs only when enabled, so default runs don't depend on
     # the TrainerConfig field existing (keeps long-running sweeps that
     # hot-import this module against an older in-memory trainer working)
@@ -90,6 +91,29 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
 
         dc_kwargs["device_preproc"] = lambda frames, boxes: (crop_resize_pad(frames, boxes),)
 
+    elif host_crop_streaming:
+        # online preprocessing in the REFERENCE's layout (decode + detect +
+        # cv2 crop all on host, per epoch) — the measured counterpart of
+        # device_crop (experiments/device_crop_bench.py)
+        from multimodal_lipread_tpu.data.glips import SPLITS, scan_glips
+        from multimodal_lipread_tpu.data.grain_loader import (
+            HostCropClipSource,
+            StreamingDataset,
+        )
+
+        index = scan_glips(cfg.get("dataset.root_dir"), exts=(".mp4", ".avi"))
+        datasets = {
+            split: StreamingDataset(
+                HostCropClipSource(
+                    index.by_split(split), index.class_to_idx,
+                    backend=cfg.get("dataset.landmark_backend", "auto"),
+                ),
+                input_keys=("lip_regions",),
+                seed=cfg.get("training.seed", 0),
+                worker_count=cfg.get("dataset.num_workers", 0),
+            )
+            for split in SPLITS
+        }
     elif streaming:
         # full-GLips-scale path: ~100 GB of lip tensors can't materialize in
         # host RAM — grain workers stream uint8 .npy records (per-host
