@@ -58,6 +58,11 @@ class Predictor:
     variables: Dict[str, Any]
     batch_size: int = 32
     mesh: Optional[Any] = None
+    # jit-traceable ``(*inputs) -> tuple(inputs)`` applied in-graph before
+    # the normalize — e.g. ops/crop_resize.crop_resize_pad so a video
+    # predictor serves straight from full decoded frames + lip boxes (the
+    # Trainer's TrainerConfig.device_preproc contract, serving-side)
+    device_preproc: Optional[Callable[..., tuple]] = None
     _compiled: Optional[Callable] = None
 
     @classmethod
@@ -68,13 +73,16 @@ class Predictor:
         example_inputs: Sequence[np.ndarray],
         batch_size: int = 32,
         mesh: Optional[Any] = None,
+        device_preproc: Optional[Callable[..., tuple]] = None,
     ) -> "Predictor":
         """Restore a Trainer checkpoint (``{epoch, state, val_acc, ...}``)."""
         rng = jax.random.PRNGKey(0)
+        dummy = tuple(jnp.asarray(a[:1]) for a in example_inputs)
+        if device_preproc is not None:
+            dummy = tuple(device_preproc(*dummy))
         dummy = tuple(
-            jnp.asarray(a[:1]).astype(jnp.float32) / 255.0
-            if np.asarray(a).dtype == np.uint8 else jnp.asarray(a[:1])
-            for a in example_inputs
+            x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
+            for x in dummy
         )
         init_vars = model.init({"params": rng, "dropout": rng}, *dummy, train=False)
         template = {
@@ -91,7 +99,8 @@ class Predictor:
             "params": ckpt["state"]["params"],
             "batch_stats": ckpt["state"]["batch_stats"],
         }
-        return cls(model=model, variables=variables, batch_size=batch_size, mesh=mesh)
+        return cls(model=model, variables=variables, batch_size=batch_size,
+                   mesh=mesh, device_preproc=device_preproc)
 
     def _forward(self):
         if self._compiled is None:
@@ -109,8 +118,13 @@ class Predictor:
                 # the jitted forward then infers shardings from its args
                 self.variables = replicate(self.mesh, self.variables)
 
+            device_preproc = self.device_preproc
+
             @jax.jit
             def fwd(variables, *inputs):
+                if device_preproc is not None:
+                    # e.g. device-side lip crop: (frames, boxes) → lips
+                    inputs = tuple(device_preproc(*inputs))
                 # uint8 inputs (lip tensors) cross host→device at 1/4 the
                 # bytes and normalize to [0,1] in-graph — the same contract
                 # as the Trainer's train step

@@ -274,3 +274,32 @@ def test_load_test_harness():
     assert stats["batch"] == 8
     assert 0 < stats["p50_ms"] <= stats["p90_ms"] <= stats["p99_ms"] <= stats["max_ms"]
     assert stats["throughput_clips_per_s"] > 0
+
+
+def test_predictor_device_preproc_matches_precropped():
+    """Serving from full frames + boxes (device-side crop in-graph) must
+    give the logits the same model produces on the pre-cropped lips."""
+    from flax import linen as nn
+
+    from multimodal_lipread_tpu.ops.crop_resize import crop_resize_pad
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            return nn.Dense(4)(x.reshape(x.shape[0], -1))
+
+    r = np.random.default_rng(3)
+    frames = r.integers(0, 256, (6, 2, 72, 96, 3), np.uint8)
+    boxes = np.tile(np.array([10, 5, 54, 49], np.int32), (6, 2, 1))
+    lips = np.asarray(crop_resize_pad(frames, boxes))
+
+    model = Tiny()
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 2, 44, 44, 3), jnp.float32))
+    p_raw = Predictor(model=model, variables=variables, batch_size=4,
+                      device_preproc=lambda f, b: (crop_resize_pad(f, b),))
+    p_lips = Predictor(model=model, variables=variables, batch_size=4)
+    np.testing.assert_allclose(
+        p_raw.predict_logits(frames, boxes), p_lips.predict_logits(lips),
+        rtol=1e-6,
+    )
