@@ -66,6 +66,13 @@ def bert_tiny_config(vocab_size: int = 8192) -> BertConfig:
                       num_heads=4, intermediate_size=256, max_position=64)
 
 
+def bert_small_config(vocab_size: int = 8192) -> BertConfig:
+    """4-layer tiny variant — deep enough for 4-stage pipeline studies
+    (experiments/pp_study.py) while staying CPU-trainable."""
+    return BertConfig(vocab_size=vocab_size, hidden_size=128, num_layers=4,
+                      num_heads=4, intermediate_size=256, max_position=64)
+
+
 class BertEmbeddings(nn.Module):
     config: BertConfig
     dtype: Any = jnp.float32

@@ -282,11 +282,14 @@ def get_cue_model(
             BertClassifier,
             PipelinedBertClassifier,
             bert_base_config,
+            bert_small_config,
             bert_tiny_config,
         )
 
         bert_dtype = jnp.bfloat16 if name == "bert_lite" else dtype
-        cfg = bert_base_config() if bert_size == "base" else bert_tiny_config()
+        cfg = {"base": bert_base_config, "small": bert_small_config}.get(
+            bert_size, bert_tiny_config
+        )()
         if pipeline_stages > 1:
             if cfg.num_layers % pipeline_stages:
                 raise ValueError(
@@ -297,8 +300,8 @@ def get_cue_model(
                 cfg, num_classes, num_stages=pipeline_stages, mesh=mesh,
                 num_microbatches=num_microbatches, dtype=bert_dtype,
             )
-        if bert_size == "base":
-            return BertClassifier(bert_base_config(), num_classes, dtype=bert_dtype)
+        if bert_size in ("base", "small"):
+            return BertClassifier(cfg, num_classes, dtype=bert_dtype)
         # The reference fine-tunes PRETRAINED bert-base-uncased
         # (cues/models/bert.py:33); this zero-egress default is a tiny
         # random-init BERT — accuracy will NOT match the reference unless

@@ -333,6 +333,7 @@ def trainer_extras(cfg: Config, default_warmup_epochs: float = 0.0) -> dict:
             cfg.get("train.warmup_epochs", default_warmup_epochs),
         ),
         "device_resident": cfg.get("training.device_resident", False),
+        "steps_per_dispatch": cfg.get("training.steps_per_dispatch", 1),
         "handle_preemption": cfg.get("training.handle_preemption", False),
         "host_prefetch": cfg.get("training.host_prefetch", 2),
         "remat": cfg.get("training.remat", False),

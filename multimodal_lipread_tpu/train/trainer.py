@@ -158,6 +158,17 @@ class TrainerConfig:
     # bit-identical masks across backends/XLA versions; both choices give
     # reproducible trajectories for a fixed seed on a fixed stack.
     dropout_rng_impl: str = "rbg"
+    # fuse K consecutive train/eval steps into ONE compiled dispatch via
+    # ``lax.scan`` (device_resident ArrayDatasets only): the per-step host
+    # dispatch — the dominant cost for small compiled steps on a tunneled
+    # chip (measured: the cached-frozen-feature tail, experiments/
+    # frozen_cache_bench.py) — is paid once per K batches instead of per
+    # batch. Trajectory-identical to K sequential steps: the scan body IS
+    # the train step (same per-step rng fold on state['step'], same order).
+    # Leftover batches (< K at the epoch tail) run per-step. Incompatible
+    # with per-STEP LR schedules (linear_warmup) — those fall back to the
+    # per-step path. 1 disables.
+    steps_per_dispatch: int = 1
     # DEVICE-SIDE input preprocessing (opt-in): a jit-traceable callable
     # ``(*inputs) -> tuple(inputs)`` applied inside the compiled train/eval
     # steps BEFORE the uint8 cast/normalize. This is the hook for the
@@ -427,7 +438,21 @@ class Trainer:
             # mirror the train-step cast: uint8 inputs are device-normalized
             return x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
 
-        dummy = tuple(jnp.asarray(a[: self.n_devices]) for a in example_inputs)
+        rows = self.n_devices
+        if "stage" in getattr(self.mesh, "axis_names", ()):
+            # pipeline-parallel models microbatch the batch axis inside
+            # their forward — the init trace needs a REAL batch (per-shard
+            # rows divisible by num_microbatches), not n_devices rows
+            rows = max(rows, self.config.batch_size)
+
+        def take(a):
+            a = np.asarray(a)
+            if a.shape[0] >= rows:
+                return a[:rows]
+            reps = -(-rows // a.shape[0])
+            return np.concatenate([a] * reps)[:rows]
+
+        dummy = tuple(jnp.asarray(take(a)) for a in example_inputs)
         if self.config.device_preproc is not None:
             # the model only ever sees preprocessed inputs (e.g. full frames
             # + boxes → cropped lips), at init exactly like in the steps
@@ -646,10 +671,11 @@ class Trainer:
         # single-shard_map step with totally ordered collectives; eval is
         # forward-only (its data-axis reductions depend on the pipeline
         # output, so they are already ordered) and stays on the jit path.
-        if (
+        pp_active = (
             "stage" in getattr(self.mesh, "axis_names", ())
             and dict(zip(self.mesh.axis_names, self.mesh.devices.shape))["stage"] > 1
-        ):
+        )
+        if pp_active:
             from multimodal_lipread_tpu.parallel.pipeline import build_pp_train_step
 
             if mixup_alpha > 0:
@@ -680,6 +706,41 @@ class Trainer:
         self._eval_step = jax.jit(eval_step)
         self._train_step_idx = jax.jit(train_step_idx, donate_argnums=(0,))
         self._eval_step_idx = jax.jit(eval_step_idx)
+
+        # multi-step-per-dispatch (steps_per_dispatch > 1): scan the idx
+        # step over K stacked (idx, weights) batches — one XLA program per
+        # K optimizer steps. Built on the FINAL step fns, so it composes
+        # with TP/device_preproc; PP's shard_map step is excluded (its
+        # collective ordering contract is per-dispatch).
+        self._train_scan = self._eval_scan = None
+        if self.config.steps_per_dispatch > 1 and not pp_active:
+
+            def train_steps_scan(state, data, labels_all, idxs, weightss, rng):
+                def body(st, xw):
+                    new, l, c, n, w = train_step_idx(st, data, labels_all, xw[0], xw[1], rng)
+                    if isinstance(st["batch_stats"], FrozenDict) and not isinstance(
+                        new["batch_stats"], FrozenDict
+                    ):
+                        # flax mutable() hands back a plain dict where the
+                        # carry holds a FrozenDict (empty-BN models) — the
+                        # scan carry pytree must stay fixed
+                        new = {**new, "batch_stats": FrozenDict(new["batch_stats"])}
+                    return new, (l, c, n, w)
+
+                state, ms = jax.lax.scan(body, state, (idxs, weightss))
+                return state, ms
+
+            def eval_steps_scan(params, batch_stats, data, labels_all, idxs, weightss):
+                def body(carry, xw):
+                    return carry, eval_step_idx(
+                        params, batch_stats, data, labels_all, xw[0], xw[1]
+                    )
+
+                _, ms = jax.lax.scan(body, 0, (idxs, weightss))
+                return ms
+
+            self._train_scan = jax.jit(train_steps_scan, donate_argnums=(0,))
+            self._eval_scan = jax.jit(eval_steps_scan)
         self._compiled = True
 
     # ------------------------------------------------------------ batching
@@ -705,11 +766,11 @@ class Trainer:
                 self._device_data_cache.pop(next(iter(self._device_data_cache)))
         return entry[1]
 
-    def _index_batches(self, ds: ArrayDataset, shuffle: bool, rng: np.random.Generator):
-        """Yield (idx, weights) device batches for the device-resident path.
+    def _index_batches_host(self, ds: ArrayDataset, shuffle: bool, rng: np.random.Generator):
+        """Yield (idx, weights) numpy batches for the device-resident path.
 
         Same pad-with-real-rows-at-weight-0 contract as ``_batches``; only
-        int32 indices and float32 weights cross host→device.
+        int32 indices and float32 weights ever cross host→device.
         """
         n = len(ds)
         order = rng.permutation(n) if shuffle else np.arange(n)
@@ -722,9 +783,48 @@ class Trainer:
             if k < bs:
                 fill = order[: bs - k] if n >= bs else np.resize(order, bs - k)
                 idx = np.concatenate([idx, fill.astype(idx.dtype)])
+            yield idx.astype(np.int32), weights
+
+    def _index_batches(self, ds: ArrayDataset, shuffle: bool, rng: np.random.Generator):
+        for idx, weights in self._index_batches_host(ds, shuffle, rng):
             yield (
-                jax.device_put(idx.astype(np.int32), self._batch_sharding),
+                jax.device_put(idx, self._batch_sharding),
                 jax.device_put(weights, self._batch_sharding),
+            )
+
+    def _index_groups(self, ds: ArrayDataset, shuffle: bool, rng: np.random.Generator):
+        """Group K=steps_per_dispatch index batches into stacked (K, bs)
+        device arrays for the scan step; a final group smaller than K is
+        yielded as ``('tail', [per-batch device pairs])`` so the caller
+        runs it per-step (padding the scan with weight-0 batches would
+        still advance Adam moments/weight decay and fork the trajectory).
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        k = self.config.steps_per_dispatch
+        sh = NamedSharding(self.mesh, P(None, "data"))
+        buf = []
+        for pair in self._index_batches_host(ds, shuffle, rng):
+            buf.append(pair)
+            if len(buf) == k:
+                yield (
+                    "scan",
+                    (
+                        jax.device_put(np.stack([b[0] for b in buf]), sh),
+                        jax.device_put(np.stack([b[1] for b in buf]), sh),
+                    ),
+                )
+                buf = []
+        if buf:
+            yield (
+                "tail",
+                [
+                    (
+                        jax.device_put(i, self._batch_sharding),
+                        jax.device_put(w, self._batch_sharding),
+                    )
+                    for i, w in buf
+                ],
             )
 
     def _batches(self, ds: ArrayDataset, shuffle: bool, rng: np.random.Generator):
@@ -840,6 +940,31 @@ class Trainer:
         self, ds: Any, rng: np.random.Generator, base_rng, epoch: int = 0
     ) -> EpochMetrics:
         acc = _AsyncMetrics()
+        if (
+            isinstance(ds, ArrayDataset)
+            and self.config.device_resident
+            and self._train_scan is not None
+            and self._lr_step_fn is None  # per-step LR can't change inside a scan
+        ):
+            data, labels_all = self._device_dataset(ds)
+            for kind, payload in self._index_groups(ds, shuffle=True, rng=rng):
+                if self._preempted and jax.process_count() == 1:
+                    break
+                if kind == "scan":
+                    idxs, weightss = payload
+                    self.state, (l, c, n, w) = self._train_scan(
+                        self.state, data, labels_all, idxs, weightss, base_rng
+                    )
+                    self._global_step += int(idxs.shape[0])
+                    acc.push(l.sum(), c.sum(), n.sum(), w.sum())
+                else:  # tail: fewer than K batches left — run per-step
+                    for idx, weights in payload:
+                        self.state, l, c, n, w = self._train_step_idx(
+                            self.state, data, labels_all, idx, weights, base_rng
+                        )
+                        self._global_step += 1
+                        acc.push(l, c, n, w)
+            return acc.result()
         if isinstance(ds, ArrayDataset) and self.config.device_resident:
             data, labels_all = self._device_dataset(ds)
             for idx, weights in self._index_batches(ds, shuffle=True, rng=rng):
@@ -880,6 +1005,19 @@ class Trainer:
         rng = np.random.default_rng(0)
         if isinstance(ds, ArrayDataset) and self.config.device_resident:
             data, labels_all = self._device_dataset(ds)
+            if self._eval_scan is not None:
+                for kind, payload in self._index_groups(ds, shuffle=False, rng=rng):
+                    if kind == "scan":
+                        l, c, n, w = self._eval_scan(
+                            params, batch_stats, data, labels_all, *payload
+                        )
+                        acc.push(l.sum(), c.sum(), n.sum(), w.sum())
+                    else:
+                        for idx, weights in payload:
+                            acc.push(*self._eval_step_idx(
+                                params, batch_stats, data, labels_all, idx, weights
+                            ))
+                return acc.result()
             for idx, weights in self._index_batches(ds, shuffle=False, rng=rng):
                 l, c, n, w = self._eval_step_idx(
                     params, batch_stats, data, labels_all, idx, weights

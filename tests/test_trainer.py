@@ -738,3 +738,46 @@ def test_dropout_rng_impl(tmp_path):
     # p=0.5 on a 32-wide layer the trajectories collide only if the impl
     # knob silently did nothing
     assert tf_a != rbg_a
+
+
+def test_steps_per_dispatch_matches_per_step(tmp_path):
+    """steps_per_dispatch>1 (scanned multi-step dispatch) must reproduce the
+    per-step device_resident trajectory exactly — same rng folds, same
+    order, same Adam updates — including a tail group (5 batches, K=2)."""
+    from flax import linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = nn.Dense(16)(x.reshape(x.shape[0], -1))
+            x = nn.relu(x)
+            x = nn.Dropout(0.2)(x, deterministic=not train)
+            return nn.Dense(4)(x)
+
+    train_ds = _tiny_dataset(72)  # 72/16 → 4 full batches + padded tail = 5
+    val_ds = _tiny_dataset(16, seed=1)
+
+    def run(k, tag):
+        t = Trainer(
+            Tiny(),
+            TrainerConfig(
+                model_name=tag, num_classes=4, batch_size=16, epochs=3,
+                learning_rate=1e-2, device_resident=True,
+                steps_per_dispatch=k, test_every_epoch=False,
+                metrics_dir=str(tmp_path / tag / "m"),
+                checkpoints_dir=str(tmp_path / tag / "c"),
+            ),
+        )
+        return t.fit(train_ds, val_ds, progress=None)["history"]
+
+    h1 = run(1, "k1")
+    h2 = run(2, "k2")
+    for a, b in zip(h1, h2):
+        assert a["train_loss"] == pytest.approx(b["train_loss"], rel=1e-5)
+        assert a["train_acc"] == pytest.approx(b["train_acc"], abs=1e-6)
+        assert a["val_loss"] == pytest.approx(b["val_loss"], rel=1e-5)
+        assert a["val_acc"] == pytest.approx(b["val_acc"], abs=1e-6)
+    # K >= batches/epoch: everything lands in one scan + nothing left over
+    h8 = run(8, "k8")
+    for a, b in zip(h1, h8):
+        assert a["train_loss"] == pytest.approx(b["train_loss"], rel=1e-5)
