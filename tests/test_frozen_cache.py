@@ -132,3 +132,43 @@ def test_cues_video_cached_trajectory_matches_uncached(tmp_path):
     for h_ref, h_c in zip(ref["history"], res["history"]):
         assert h_c["train_loss"] == pytest.approx(h_ref["train_loss"], abs=2e-4)
         assert h_c["val_loss"] == pytest.approx(h_ref["val_loss"], abs=2e-4)
+
+
+@pytest.mark.slow
+def test_triple_cached_composes_with_device_resident_and_scan(tmp_path):
+    """The full throughput stack — cache_frozen_features + device_resident +
+    steps_per_dispatch — must reproduce the plain cached trajectory
+    (experiments/frozen_cache_bench.py measures the speed; this pins the
+    math)."""
+    from multimodal_lipread_tpu.models.audio_cues_video import FROZEN_PARAM_PREFIXES
+
+    rng = np.random.default_rng(0)
+    train = _triple_data(rng)
+    val = _triple_data(np.random.default_rng(1))
+    prefixes = FROZEN_PARAM_PREFIXES["early_fusion_mobile"]
+
+    def run(tag, **extra):
+        model = get_triple_model("early_fusion_mobile", NUM_CLASSES, frozen_bn_eval=True)
+        t = Trainer(
+            model,
+            TrainerConfig(
+                model_name=f"fc_{tag}", num_classes=NUM_CLASSES, batch_size=8,
+                epochs=2, learning_rate=1e-3, weight_decay=0.0,
+                metrics_dir=str(tmp_path / tag / "m"),
+                checkpoints_dir=str(tmp_path / tag / "c"),
+                test_every_epoch=False, frozen_param_prefixes=prefixes,
+                seed=0, **extra,
+            ),
+        )
+        t.init_state(train.inputs)
+        train_c = cached_dataset(t, train, lambda raw, f: (f[0], raw[1], f[1]))
+        val_c = cached_dataset(t, val, lambda raw, f: (f[0], raw[1], f[1]))
+        t.set_apply_kwargs(cached_features=True)
+        return t.fit(train_c, val_c, None, progress=None)["history"]
+
+    plain = run("plain")
+    stacked = run("stacked", device_resident=True, steps_per_dispatch=4)
+    for a, b in zip(plain, stacked):
+        assert b["train_loss"] == pytest.approx(a["train_loss"], rel=1e-5)
+        assert b["val_loss"] == pytest.approx(a["val_loss"], rel=1e-5)
+        assert b["train_acc"] == a["train_acc"]
