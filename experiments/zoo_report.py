@@ -67,15 +67,21 @@ FAMILY_ORDER = ["audio", "video", "audio_video", "cues", "audio_cues",
 
 FAMILY_NOTES = {
     "audio": (
-        "Rows are the round-4 re-sweep under the shipping code: round 3's "
-        "VGG-pair rows (79.62 both) proved non-reproducible at the identical "
-        "protocol + bit-identical corpus (five independent round-4 runs all "
-        "land at 83.4-84.4 — flat across lr 1e-4..1e-3 and ±1 pt under "
-        "structured-prior grafts, so neither LR-sensitivity nor the "
-        "reference's ImageNet-init confound explains the old rows; "
-        "experiments/audio_rank_study/REPORT.md). At this corpus difficulty "
-        "the family top compresses into ~1 pt, so residual rank noise there "
-        "is tie-noise, not capability failure."
+        "All 43 zoo rows (this family included) are ONE round-5 sweep at "
+        "one commit / one corpus / one rng stream (see Provenance) — the "
+        "fix for round 4's finding that rows measured under superseded "
+        "code can be non-reproducible (round 3's VGG-pair rows, off by 4 "
+        "pts; experiments/audio_rank_study/REPORT.md). The top of this "
+        "family compresses into ~1 pt at this corpus difficulty, so "
+        "residual rank noise there is tie-noise, not capability failure."
+    ),
+    "audio_cues_video": (
+        "n=4 with three reference rows inside a 1.5-pt band (57.0/58.0/"
+        "58.5) — the reference itself barely separates early/middle/"
+        "resnet, so their relative order is tie-noise on BOTH sides and ρ "
+        "carries little signal beyond the one robust fact, which "
+        "reproduces: late_fusion_mobile is #1 by a wide margin (reference "
+        "95.5 vs next 58.5; this build 80.6 vs next 75.9)."
     ),
     "cues_video": (
         "The three MOBILE variants freeze their per-frame MobileNetV2 to "
