@@ -112,7 +112,14 @@ FAMILY_NOTES = {
         "residual rank noise is WITHIN the pooled group (dense_nn/"
         "multi_attn/minilm_lstm all read the same sentence embedding; "
         "their reference spread also collapses within-group to 14 pts vs "
-        "the 35-pt group gap)."
+        "the 35-pt group gap) — and the round-5 replicate study backs the "
+        "tie-noise claim with data: over 5 training seeds at the zoo "
+        "protocol, dense_nn spans 75.0-75.4 and multi_attn 72.9-75.0 "
+        "(overlapping; mean gap 0.9 pt), so the dense_nn-over-multi_attn "
+        "'inversion' is a statistical tie at the pooled-group Bayes cap, "
+        "not a stable property (experiments/cues_replicates/aggregate.json; "
+        "minilm_lstm matches the band on 4/5 seeds with one seed-0 "
+        "optimization collapse to 40%)."
     ),
     "audio_cues": (
         "The reference never demonstrated this family: its only committed log "
