@@ -212,7 +212,12 @@ class AudioConformer(nn.Module):
     """
 
     num_classes: int
-    d_model: int = 144
+    # 128 is the measured shipping default: at the zoo protocol on the hard
+    # corpus, d=128 matches d=144's accuracy on every seed (81.6-81.8% vs
+    # 81.6%, 3 seeds each — experiments/conformer_dmodel/aggregate.json)
+    # and runs +18% clips/s (docs/PERFORMANCE.md d_model sweep). Set
+    # model.d_model: 144 to load pre-round-5 checkpoints.
+    d_model: int = 128
     num_layers: int = 4
     dropout_rate: float = 0.1
     dtype: Any = jnp.float32
