@@ -46,6 +46,13 @@ def run(root: str, epochs: int, clips_per_split: int) -> None:
         ("materialized", {"root_dir": root, "num_classes": 500}),
         ("native_stream", {"root_dir": root, "num_classes": 500,
                            "streaming": True, "loader_backend": "native"}),
+        # int16 wire: the round-5 decode-roofline found the f32 wave
+        # stream H2D-bound, not decode-bound (standalone native decode =
+        # 13,900 clips/s on this 1-core host) — PCM16 ships exactly as
+        # int16 at half the bytes, cast to f32 on device
+        ("native_stream_i16", {"root_dir": root, "num_classes": 500,
+                               "streaming": True, "loader_backend": "native",
+                               "wire_dtype": "int16"}),
     ):
         cfg = Config.from_dict({
             **common, "dataset": ds,

@@ -291,6 +291,7 @@ class NativeStreamingDataset:
         capacity: int = 256,
         shard_index: Optional[int] = None,
         shard_count: Optional[int] = None,
+        wire_dtype: Optional[str] = None,
     ):
         import jax
 
@@ -309,6 +310,17 @@ class NativeStreamingDataset:
             [class_to_idx[e.word] for e in self.entries], np.int32
         )
         self.seed = seed
+        # wire_dtype='int16' (wav only): ship waveforms host→device as
+        # int16 — EXACT for PCM16 sources (decode is a plain int16→f32
+        # cast, data/audio_io.py:44) at HALF the H2D bytes; the Trainer
+        # casts back to f32 on device, like the uint8-lips contract.
+        # scale500 measured the f32 wave stream H2D-bound on the tunneled
+        # chip (docs/PERFORMANCE.md "500-class streaming").
+        if wire_dtype not in (None, "int16"):
+            raise ValueError(f"unsupported wire_dtype {wire_dtype!r}")
+        if wire_dtype == "int16" and kind != "wav":
+            raise ValueError("wire_dtype='int16' only applies to kind='wav'")
+        self.wire_dtype = wire_dtype
         self.shard_index = jax.process_index() if shard_index is None else shard_index
         self.shard_count = jax.process_count() if shard_count is None else shard_count
         self._prefetcher = NativePrefetcher(
@@ -327,7 +339,8 @@ class NativeStreamingDataset:
         return max(1, -(-largest_shard // max(1, per_host)))
 
     def example_inputs(self, n: int) -> tuple:
-        rec = np.zeros(self._prefetcher.record_shape, self._prefetcher.dtype)
+        dtype = np.int16 if self.wire_dtype == "int16" else self._prefetcher.dtype
+        rec = np.zeros(self._prefetcher.record_shape, dtype)
         return (np.broadcast_to(rec[None], (n,) + rec.shape).copy(),)
 
     def _epoch_order(self, epoch: int, shuffle: bool) -> np.ndarray:
@@ -356,6 +369,9 @@ class NativeStreamingDataset:
                 )
             labels = self.labels[order[consumed:consumed + len(batch)]]
             consumed += len(batch)
+            if self.wire_dtype == "int16":
+                # PCM16 values are integral in f32: the cast is exact
+                batch = batch.astype(np.int16)
             yield (batch,), labels
 
     def close(self) -> None:

@@ -89,6 +89,8 @@ def main(config: Config | str, resume: bool = False) -> Dict[str, Any]:
                     kind="wav", record_shape=(20000,),
                     seed=cfg.get("training.seed", 0),
                     n_threads=cfg.get("dataset.num_workers", 0) or None,
+                    # 'int16' halves the waveform H2D (exact for PCM16)
+                    wire_dtype=cfg.get("dataset.wire_dtype"),
                 )
                 for split in SPLITS
             }

@@ -126,12 +126,17 @@ class Predictor:
                     # e.g. device-side lip crop: (frames, boxes) → lips
                     inputs = tuple(device_preproc(*inputs))
                 # uint8 inputs (lip tensors) cross host→device at 1/4 the
-                # bytes and normalize to [0,1] in-graph — the same contract
-                # as the Trainer's train step
-                inputs = tuple(
-                    x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
-                    for x in inputs
-                )
+                # bytes and normalize to [0,1] in-graph; int16 waveforms at
+                # 1/2 the bytes, cast to f32 — the same contract as the
+                # Trainer's train step
+                def c(x):
+                    if x.dtype == jnp.uint8:
+                        return x.astype(jnp.float32) / 255.0
+                    if x.dtype == jnp.int16:
+                        return x.astype(jnp.float32)
+                    return x
+
+                inputs = tuple(c(x) for x in inputs)
                 return model.apply(variables, *inputs, train=False)
 
             self._compiled = fwd

@@ -435,8 +435,13 @@ class Trainer:
         rng = jax.random.PRNGKey(self.config.seed)
 
         def init_cast(x):
-            # mirror the train-step cast: uint8 inputs are device-normalized
-            return x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
+            # mirror the train-step cast: uint8 inputs are device-normalized,
+            # int16 waveforms device-cast to f32
+            if x.dtype == jnp.uint8:
+                return x.astype(jnp.float32) / 255.0
+            if x.dtype == jnp.int16:
+                return x.astype(jnp.float32)
+            return x
 
         rows = self.n_devices
         if "stage" in getattr(self.mesh, "axis_names", ()):
@@ -527,6 +532,11 @@ class Trainer:
             # "device-side normalize" stage of the lip pipeline
             if x.dtype == jnp.uint8:
                 x = x.astype(jnp.bfloat16 if half else jnp.float32) / 255.0
+            elif x.dtype == jnp.int16:
+                # PCM16 waveforms ship as int16 (half the H2D bytes); models
+                # see the same int16-amplitude f32 the decoders produce
+                # (data/audio_io.py:44 — no /32768 scaling there either)
+                x = x.astype(jnp.bfloat16 if half else jnp.float32)
             elif half and jnp.issubdtype(x.dtype, jnp.floating):
                 x = x.astype(jnp.bfloat16)
             return x

@@ -191,3 +191,37 @@ def test_stream_batches_align_across_shards(tmp_path):
             assert float(np.asarray(batches[-1][2]).sum()) == 0.0
     # shard 0: ceil(17/8)=3 batches; shard 1: ceil(16/8)=2 real + 1 pad
     assert counts == [3, 3]
+
+
+def test_native_int16_wire_matches_f32(glips_root, tmp_path):
+    """dataset.wire_dtype: int16 must produce the IDENTICAL trajectory as
+    the f32 wire — PCM16 values are integral, so the int16 round trip and
+    the on-device cast are exact."""
+    from multimodal_lipread_tpu.data.native_io import get_lib
+
+    if get_lib() is None:
+        pytest.skip("native library unavailable")
+    from multimodal_lipread_tpu.pipelines.audio import main as audio_main
+
+    def run(tag, wire):
+        ds = {"root_dir": glips_root, "num_classes": 4, "input_size": 117,
+              "streaming": True, "loader_backend": "native"}
+        if wire:
+            ds["wire_dtype"] = wire
+        cfg = Config.from_dict(
+            {
+                "dataset": ds,
+                "model": {"name": "resnet"},
+                "training": {"batch_size": 16, "epochs": 2,
+                             "learning_rate": 1e-3, "weight_decay": 1e-4,
+                             "seed": 0},
+                "output": {"base_dir": str(tmp_path / tag)},
+            }
+        )
+        return audio_main(cfg)["history"]
+
+    h32 = run("f32", None)
+    h16 = run("i16", "int16")
+    for a, b in zip(h32, h16):
+        assert b["train_loss"] == pytest.approx(a["train_loss"], rel=1e-6)
+        assert b["val_acc"] == a["val_acc"]
