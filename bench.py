@@ -332,7 +332,7 @@ def bench_audio_conformer(peak_tflops: float) -> dict:
                 model, (mels,), labels, peak_tflops, steps=STEPS)
 
 
-def bench_cues(peak_tflops: float) -> dict:
+def bench_cues(peak_tflops: float) -> list:
     """Cue text classifier row (reference best: multi_attn, BASELINE.md).
     Tiny MLP-scale model — throughput is dispatch-bound, reported for
     completeness of the 7-pipeline table."""
@@ -346,8 +346,13 @@ def bench_cues(peak_tflops: float) -> dict:
     rng = np.random.default_rng(0)
     cues = rng.standard_normal((batch, 768)).astype(np.float32)
     labels = rng.integers(0, 4, size=batch).astype(np.int32)
-    return _row("cues multi_attn train clips/sec/chip (bf16, batch 512)",
+    base = _row("cues multi_attn train clips/sec/chip (bf16, batch 512)",
                 model, (cues,), labels, peak_tflops)
+    # the ~1 M-param model is pure dispatch: show what the production
+    # training.steps_per_dispatch path recovers
+    scan = _row("cues multi_attn train clips/sec/chip (bf16, batch 512, 16 steps/dispatch)",
+                model, (cues,), labels, peak_tflops, steps=64, scan_steps=16)
+    return [base, scan]
 
 
 def bench_triple_frozen_cache(peak_tflops: float) -> list:
@@ -580,8 +585,8 @@ def main(full: bool = True):
         bench_av("middle_fusion_fast", peak),
         bench_audio_cues(peak),
         bench_cues_video(peak),
-        bench_cues(peak),
     ]
+    rows.extend(bench_cues(peak))
     rows.extend(bench_triple_frozen_cache(peak))
     for line in rows:
         print(json.dumps(line), flush=True)
