@@ -40,12 +40,18 @@ def main():
     from multimodal_lipread_tpu.pipelines.audio import main as audio_main
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from hard_sweep import provenance
+    from hard_sweep import corpus_recipe, provenance
 
+    # stamp the corpus ACTUALLY read — see cues_replicates.py
+    recipe = corpus_recipe(args.corpus) or {
+        "seed": "unknown", "clips": "unknown", "label_noise": "unknown",
+        "cue_style": "unknown", "hardness": "unknown",
+    }
     prov = provenance(
-        argparse.Namespace(seed=11, clips=200, label_noise=0.05,
-                           cue_style="compositional"),
-        {"audio": 0.55, "video": 0.8, "cues": 0.7},
+        argparse.Namespace(seed=recipe["seed"], clips=recipe["clips"],
+                           label_noise=recipe["label_noise"],
+                           cue_style=recipe["cue_style"]),
+        recipe["hardness"],
     )
     os.makedirs(OUT, exist_ok=True)
     path = os.path.join(OUT, "summary.jsonl")
@@ -81,7 +87,7 @@ def main():
             print(f"[d={d_model} seed={seed}] test {row['final_test_acc']:.2f}% "
                   f"({row['seconds']}s)", flush=True)
 
-    rows = [json.loads(l) for l in open(path) if "d_model" in json.loads(l)]
+    rows = [r for r in map(json.loads, open(path)) if "d_model" in r]
     agg = {}
     for d in (144, 128):
         accs = sorted(r["final_test_acc"] for r in rows if r["d_model"] == d)

@@ -52,13 +52,20 @@ def main():
     from multimodal_lipread_tpu.pipelines.cues import main as cues_main
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-    from hard_sweep import provenance  # same stamp as the zoo rows
+    from hard_sweep import corpus_recipe, provenance  # same stamp as the zoo rows
 
     os.makedirs(args.out, exist_ok=True)
+    # stamp the corpus ACTUALLY read (recipe sidecar written at build time);
+    # a foreign corpus without a sidecar is recorded as unknown, not assumed
+    recipe = corpus_recipe(args.corpus) or {
+        "seed": "unknown", "clips": "unknown", "label_noise": "unknown",
+        "cue_style": "unknown", "hardness": "unknown",
+    }
     prov = provenance(
-        argparse.Namespace(seed=11, clips=200, label_noise=0.05,
-                           cue_style="compositional"),
-        {"audio": 0.55, "video": 0.8, "cues": 0.7},
+        argparse.Namespace(seed=recipe["seed"], clips=recipe["clips"],
+                           label_noise=recipe["label_noise"],
+                           cue_style=recipe["cue_style"]),
+        recipe["hardness"],
     )
     path = os.path.join(args.out, "summary.jsonl")
     done = set()
@@ -96,7 +103,7 @@ def main():
                   f"({row['seconds']}s)", flush=True)
 
     # aggregate
-    rows = [json.loads(l) for l in open(path) if "model" in json.loads(l)]
+    rows = [r for r in map(json.loads, open(path)) if "model" in r]
     agg = {}
     for m in MODELS:
         accs = sorted(r["best_val_acc"] for r in rows if r["model"] == m)

@@ -47,8 +47,25 @@ def build_corpus(root: str, clips: int, hardness, label_noise: float, seed: int,
             hardness=hardness, label_noise=label_noise, cue_style=cue_style,
             with_audio=with_audio, with_lip_regions=with_lip_regions,
         )
+        # recipe sidecar: downstream studies (cues_replicates,
+        # conformer_dmodel) stamp their provenance from the corpus THEY
+        # read, not from assumed defaults
+        with open(os.path.join(root, "corpus_meta.json"), "w") as f:
+            json.dump({"seed": seed, "clips": clips, "hardness": hardness,
+                       "label_noise": label_noise, "cue_style": cue_style}, f)
         print(f"corpus built in {time.time() - t0:.1f}s: {root}", flush=True)
     return root
+
+
+def corpus_recipe(root: str) -> "dict | None":
+    """The recipe sidecar written at build time, or None (pre-existing or
+    foreign corpora — callers must then record the recipe as unknown
+    rather than asserting defaults)."""
+    try:
+        with open(os.path.join(root, "corpus_meta.json")) as f:
+            return json.load(f)
+    except Exception:
+        return None
 
 
 def provenance(args, hardness) -> dict:
@@ -70,9 +87,19 @@ def provenance(args, hardness) -> dict:
             ["git", "status", "--porcelain", "--untracked-files=no"], cwd=REPO,
             capture_output=True, text=True, timeout=10,
         ).stdout.splitlines()
-        # PROGRESS.jsonl is appended by the round driver while sweeps run —
-        # it never affects training math, so it doesn't make a row dirty
-        dirty = any(not l.endswith("PROGRESS.jsonl") for l in status if l.strip())
+        # Exclusions that never affect training math: PROGRESS.jsonl is
+        # appended by the round driver while sweeps run, and the sweep
+        # WRITES ITS OWN tracked outputs (metrics/plots/summary under
+        # args.out) — a resumed sweep must not stamp its remaining rows
+        # '-dirty' because of its own first-half artifacts.
+        out_dir = getattr(args, "out", None) or os.path.join(REPO, "experiments", "hard_sweep")
+        out_rel = os.path.relpath(os.path.abspath(out_dir), REPO)
+
+        def _ignorable(line: str) -> bool:
+            path = line[3:] if len(line) > 3 else line
+            return path.endswith("PROGRESS.jsonl") or path.startswith(out_rel + "/")
+
+        dirty = any(not _ignorable(l) for l in status if l.strip())
     except Exception:
         commit, dirty = "unknown", False
     from multimodal_lipread_tpu.train.trainer import TrainerConfig

@@ -185,12 +185,22 @@ def build_report(summary_path: str) -> str:
 
     # Staleness guard (round-4 verdict: rows measured under superseded code
     # were indistinguishable from fresh ones). The CURRENT provenance is the
-    # most common stamp; any row that differs is marked ⚠ stale in its table
+    # NEWEST stamp by date (ties broken by row count) — a majority vote
+    # alone inverts when a partial re-sweep leaves fresh rows outnumbered
+    # by stale ones. Any row that differs is marked ⚠ stale in its table
     # and the mix is called out loudly.
     from collections import Counter
 
     prov_counts = Counter(_prov_key(r) for r in ours.values())
-    current_prov = prov_counts.most_common(1)[0][0] if prov_counts else None
+    prov_dates: dict = {}
+    for r in ours.values():
+        k = _prov_key(r)
+        d = (r.get("provenance") or {}).get("date", "")
+        prov_dates[k] = max(prov_dates.get(k, ""), d)
+    current_prov = (
+        max(prov_counts, key=lambda k: (prov_dates.get(k, ""), prov_counts[k]))
+        if prov_counts else None
+    )
     mixed = len(prov_counts) > 1
 
     lines = [

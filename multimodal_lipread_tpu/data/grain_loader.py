@@ -93,17 +93,28 @@ class FullFrameClipSource:
     backend: str = "auto"
     frame_shape: Optional[tuple] = None  # (H, W) to enforce across clips
 
-    def __post_init__(self):
-        from multimodal_lipread_tpu.data.lip_extraction import LipRegionExtractor
+    @property
+    def _ex(self):
+        # lazy per-process construction: the detector backends hold
+        # unpicklable native handles (cv2 cascade / mediapipe graph), and
+        # grain worker_count>0 pickles the source into spawn workers —
+        # each worker builds its own extractor on first use
+        ex = getattr(self, "_extractor", None)
+        if ex is None:
+            from multimodal_lipread_tpu.data.lip_extraction import LipRegionExtractor
 
-        self._extractor = LipRegionExtractor(backend=self.backend)
+            ex = self._extractor = LipRegionExtractor(backend=self.backend)
+        return ex
+
+    def __getstate__(self):
+        return {k: v for k, v in self.__dict__.items() if k != "_extractor"}
 
     def __len__(self) -> int:
         return len(self.entries)
 
     def __getitem__(self, idx: int):
         e = self.entries[int(idx)]
-        frames, boxes = self._extractor.extract_full_frame_sequence(e.path)
+        frames, boxes = self._ex.extract_full_frame_sequence(e.path)
         if self.frame_shape is not None and frames.shape[1:3] != tuple(self.frame_shape):
             raise ValueError(
                 f"{e.path}: frame size {frames.shape[1:3]} != required "
@@ -133,10 +144,18 @@ class HostCropClipSource:
     class_to_idx: Dict[str, int]
     backend: str = "auto"
 
-    def __post_init__(self):
-        from multimodal_lipread_tpu.data.lip_extraction import LipRegionExtractor
+    @property
+    def _ex(self):
+        # lazy, per-process — see FullFrameClipSource._ex (spawn pickling)
+        ex = getattr(self, "_extractor", None)
+        if ex is None:
+            from multimodal_lipread_tpu.data.lip_extraction import LipRegionExtractor
 
-        self._extractor = LipRegionExtractor(backend=self.backend)
+            ex = self._extractor = LipRegionExtractor(backend=self.backend)
+        return ex
+
+    def __getstate__(self):
+        return {k: v for k, v in self.__dict__.items() if k != "_extractor"}
 
     def __len__(self) -> int:
         return len(self.entries)
@@ -144,7 +163,7 @@ class HostCropClipSource:
     def __getitem__(self, idx: int):
         e = self.entries[int(idx)]
         return {
-            "lip_regions": self._extractor.extract_lip_sequence(e.path),
+            "lip_regions": self._ex.extract_lip_sequence(e.path),
             "label": np.int32(self.class_to_idx[e.word]),
         }
 

@@ -220,31 +220,42 @@ class LipRegionExtractor:
 
         cap = cv2.VideoCapture(video_path)
         total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
-        h = int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) or 1
-        w = int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) or 1
         if total <= 0:
             cap.release()
             return (
-                np.zeros((num_frames, h, w, 3), np.uint8),
+                np.zeros((num_frames, 1, 1, 3), np.uint8),
                 np.zeros((num_frames, 4), np.int32),
             )
         if total <= num_frames:
             idxs = np.concatenate([np.arange(total), np.full(num_frames - total, total - 1)])
         else:
             idxs = np.linspace(0, total - 1, num_frames).astype(int)
-        frames = np.zeros((num_frames, h, w, 3), np.uint8)
-        boxes = np.zeros((num_frames, 4), np.int32)
+        # the buffer shape comes from the first DECODED frame, not the
+        # container header (CAP_PROP_FRAME_* can be absent or disagree with
+        # the decoded size — rotation metadata, corrupt headers); frames
+        # decoding at a different size are treated as unreadable (blank
+        # frame + degenerate box), matching the host path's failure mode
+        frames = boxes = None
         for k, idx in enumerate(idxs):
             cap.set(cv2.CAP_PROP_POS_FRAMES, int(idx))
             ok, frame_bgr = cap.read()
             if not ok:
                 continue
             frame_rgb = cv2.cvtColor(frame_bgr, cv2.COLOR_BGR2RGB)
+            if frames is None:
+                h, w = frame_rgb.shape[:2]
+                frames = np.zeros((num_frames, h, w, 3), np.uint8)
+                boxes = np.zeros((num_frames, 4), np.int32)
+            if frame_rgb.shape != frames.shape[1:]:
+                continue
             frames[k] = frame_rgb
             box = self.backend.lip_box(frame_rgb)
             if box is not None:
                 boxes[k] = box  # already margin-expanded + frame-clipped
         cap.release()
+        if frames is None:  # no frame ever decoded
+            frames = np.zeros((num_frames, 1, 1, 3), np.uint8)
+            boxes = np.zeros((num_frames, 4), np.int32)
         return frames, boxes
 
 

@@ -80,10 +80,17 @@ class Predictor:
         dummy = tuple(jnp.asarray(a[:1]) for a in example_inputs)
         if device_preproc is not None:
             dummy = tuple(device_preproc(*dummy))
-        dummy = tuple(
-            x.astype(jnp.float32) / 255.0 if x.dtype == jnp.uint8 else x
-            for x in dummy
-        )
+
+        def _init_cast(x):
+            # mirror the compiled forward's cast exactly (uint8 normalize,
+            # int16 waveform → f32) so init traces the dtypes served
+            if x.dtype == jnp.uint8:
+                return x.astype(jnp.float32) / 255.0
+            if x.dtype == jnp.int16:
+                return x.astype(jnp.float32)
+            return x
+
+        dummy = tuple(_init_cast(x) for x in dummy)
         init_vars = model.init({"params": rng, "dropout": rng}, *dummy, train=False)
         template = {
             "epoch": 0,

@@ -1127,6 +1127,20 @@ class Trainer:
         self.ensure_initialized(train_ds)
         if not self._compiled:
             self._build_steps()
+        if cfg.steps_per_dispatch > 1 and (
+            self._train_scan is None
+            or not cfg.device_resident
+            or not isinstance(train_ds, ArrayDataset)
+        ):
+            import warnings
+
+            warnings.warn(
+                "training.steps_per_dispatch > 1 has no effect here: the "
+                "scanned dispatch path needs a device_resident ArrayDataset "
+                "(and is excluded under pipeline parallelism) — training "
+                "falls back to per-step dispatch",
+                stacklevel=2,
+            )
         self._preempted = False  # a resumed/reused Trainer starts fresh
         restore_signals = (
             self._install_preemption_handlers() if cfg.handle_preemption else lambda: None
@@ -1195,6 +1209,16 @@ class Trainer:
 
             self._lr_step_fn = plateau_warmup_lr
 
+        if self._lr_step_fn is not None and cfg.steps_per_dispatch > 1:
+            import warnings
+
+            warnings.warn(
+                "training.steps_per_dispatch > 1 is ignored with a per-step "
+                "LR schedule (linear_warmup / warmup_epochs): the LR cannot "
+                "change inside a scanned dispatch — training falls back to "
+                "per-step dispatch",
+                stacklevel=2,
+            )
         start_epoch = 1
         best_val_acc = -1.0
 
