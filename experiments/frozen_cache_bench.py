@@ -128,6 +128,11 @@ def real_fit(epochs=4):
         ("cached", {"cache_frozen_features": True}),
         ("cached+device_resident", {"cache_frozen_features": True,
                                     "device_resident": True}),
+        # + multi-step dispatch: if the attribution shows the cached tail is
+        # dispatch-bound, scanning K steps per dispatch is the fix
+        ("cached+dr+spd16", {"cache_frozen_features": True,
+                             "device_resident": True,
+                             "steps_per_dispatch": 16}),
     ):
         cfg = Config.from_dict({
             "dataset": {"root_dir": root, "cue_root": root, "cue_mode": "emotion",
